@@ -1,0 +1,506 @@
+"""Configuration tree with task defaults and diff-based experiment naming.
+
+Re-implements the reference's yacs-based option surface and semantics
+(reference: libs/core/opt.py:75-547, libs/core/utils.py:101-315) as a small
+self-contained ``CfgNode`` (yacs is not a dependency of this framework):
+
+  * task-keyed default builders (``grounder`` / ``mad`` / ``charades``),
+  * ``setup_cfg(cfg_file, set_cfgs)``: merge files then dotted-key overrides
+    with int->float coercion, derive dependent fields, generate the
+    experiment name from the diff against defaults,
+  * experiment identity = config-file stems + diff string, giving
+    collision-free log dirs and resume-by-config,
+  * ``opt.yaml`` snapshot / ``update_from`` backfill so older snapshots gain
+    newly introduced defaults at eval time.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import random as _random
+
+import yaml
+
+
+class CfgNode(dict):
+    """A nested dict with attribute access, clone/merge/diff, yaml I/O."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    def __delattr__(self, name):
+        try:
+            del self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    # -- construction ------------------------------------------------------
+    @staticmethod
+    def from_dict(d):
+        node = CfgNode()
+        for k, v in d.items():
+            node[k] = CfgNode.from_dict(v) if isinstance(v, dict) else v
+        return node
+
+    def to_dict(self):
+        out = {}
+        for k, v in self.items():
+            out[k] = v.to_dict() if isinstance(v, CfgNode) else v
+        return out
+
+    def clone(self):
+        return copy.deepcopy(self)
+
+    # -- merging -----------------------------------------------------------
+    def merge_from_other_cfg(self, other):
+        for k, v in other.items():
+            if isinstance(v, (dict, CfgNode)) and isinstance(self.get(k), CfgNode):
+                self[k].merge_from_other_cfg(v)
+            elif isinstance(v, dict):
+                self[k] = CfgNode.from_dict(v)
+            else:
+                self[k] = _coerce(v, self.get(k))
+
+    def merge_from_file(self, fname):
+        with open(fname, "r") as f:
+            loaded = yaml.safe_load(f) or {}
+        self.merge_from_other_cfg(loaded)
+
+    def merge_from_list(self, kv_list):
+        assert len(kv_list) % 2 == 0, "override list must be key/value pairs"
+        for key, value in zip(kv_list[0::2], kv_list[1::2]):
+            node = self
+            parts = key.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            old = node.get(parts[-1], None)
+            node[parts[-1]] = _parse_value(value, old)
+
+    # -- yaml --------------------------------------------------------------
+    def dump(self):
+        return yaml.safe_dump(self.to_dict(), default_flow_style=False)
+
+    def dump_to_file(self, fname):
+        with open(fname, "w") as f:
+            f.write(self.dump())
+
+    @staticmethod
+    def load_file(fname):
+        with open(fname, "r") as f:
+            return CfgNode.from_dict(yaml.safe_load(f) or {})
+
+
+def _coerce(value, old):
+    """Coerce merged values to the default's scalar type where unambiguous."""
+    if isinstance(old, float) and isinstance(value, int) and not isinstance(value, bool):
+        return float(value)
+    if isinstance(old, tuple) and isinstance(value, list):
+        return tuple(value)
+    return value
+
+
+def _parse_value(text, old):
+    """Parse a CLI override string, matching the target type when known.
+
+    Mirrors the reference's int->float coercion for ``--set`` pairs
+    (reference: libs/core/utils.py:140-147).
+    """
+    if not isinstance(text, str):
+        return _coerce(text, old)
+    try:
+        value = yaml.safe_load(text)
+    except yaml.YAMLError:
+        value = text
+    return _coerce(value, old)
+
+
+# ---------------------------------------------------------------------------
+# Task default trees (reference: libs/core/opt.py:43-318,501-510)
+# ---------------------------------------------------------------------------
+
+
+def _base_aux():
+    aux = CfgNode()
+    aux.mark = ""
+    aux.runid = 0
+    aux.debug = False
+    aux.log = "decaf"
+    aux.resume = True
+    aux.model_resume = None
+    aux.eval_run = -1
+    aux.eval_by = "epoch"
+    aux.save_run = 2
+    aux.log_interval = 100
+    aux.dryrun = False
+    aux.cfg_file = ()
+    aux.set_cfgs = None
+    aux.exp = ""
+    aux.logdir = ""
+    return aux
+
+
+def _base_data():
+    data = CfgNode()
+    data.name = "video_centric"
+    data.split = "train"
+    data.eval_split = "val"
+    data.anno_file = None
+    data.vid_feat_dir = None
+    data.vid_load = "npy"
+    data.shallow_vid_feat_dir = None
+    data.shallow_vid_load = "npy"
+    data.shallow_ds = None
+    data.text_feat_dir = None
+    data.ext_score_dir = None
+    data.text_cls_fname = None
+    data.clip_token_fname = None
+    data.clip_size = 32
+    data.clip_stride = 8
+    data.to_fixed_len = False
+    data.downsample_rate = 1
+    data.max_num_text = 2
+    data.trunc_thresh = 0.5
+    data.crop_ratio = (0.9, 1.0)
+    data.group_method = "greedy"
+    data.tokenizer = None
+    data.num_workers_cap = 4
+    return data
+
+
+def _base_model():
+    model = CfgNode()
+    model.name = "iter"
+
+    model.text_net = CfgNode()
+    model.text_net.name = "transformer"
+    model.text_net.in_dim = 300
+    model.text_net.embd_dim = 128
+    model.text_net.max_seq_len = 24
+    model.text_net.n_heads = 4
+    model.text_net.use_abs_pe = False
+    model.text_net.use_bkgd_token = True
+
+    model.vid_net = CfgNode()
+    model.vid_net.name = "transformer"
+    model.vid_net.in_dim = 500
+    model.vid_net.embd_dim = 128
+    model.vid_net.n_heads = 4
+    model.vid_net.max_seq_len = 256
+    model.vid_net.stride = 1
+    model.vid_net.arch = (2, 0, 7)
+    model.vid_net.mha_win_size = 5
+    model.vid_net.attn_pdrop = 0.0
+    model.vid_net.proj_pdrop = 0.1
+    model.vid_net.path_pdrop = 0.1
+    model.vid_net.use_abs_pe = True
+    model.vid_net.pool_only = False
+    model.vid_net.cdrop = 0.0
+
+    model.fusion = CfgNode()
+    model.fusion.name = "xattn"
+    model.fusion.n_layers = 2
+    model.fusion.n_heads = 4
+    model.fusion.attn_pdrop = 0.0
+    model.fusion.proj_pdrop = 0.1
+    model.fusion.path_pdrop = 0.1
+    model.fusion.xattn_mode = "adaln"
+
+    model.cls_head = CfgNode()
+    model.cls_head.name = "cls"
+    model.cls_head.n_layers = 2
+    model.cls_head.prior_prob = 0.0
+
+    model.reg_head = CfgNode()
+    model.reg_head.name = "reg"
+    model.reg_head.n_layers = 2
+
+    model.pretrain = None
+    model.sratio = 0.0      # fraction of saliency bins kept by delegation
+    model.sn = 60           # clips per saliency bin
+    model.msf = False       # concat shallow features channel-wise
+    model.scat = False      # append correlation row as a channel
+    model.sfonly = False    # use shallow features only (eval ablation)
+    model.norm = False      # L2-normalize before the saliency dot product
+
+    # TCN refinement stage of the iterative model
+    model.rlayer = None
+    model.rdim = 32
+    return model
+
+
+def _base_train():
+    train = CfgNode()
+    train.batch_size = 16
+    train.microbatch_size = None   # defaults to batch_size
+    train.num_workers = 4
+    train.epochs = 5
+    train.warmup_epochs = 5
+    train.ema_beta = 0.999
+    train.center_sampling = "radius"
+    train.center_sampling_radius = 1.5
+    train.loss_norm = 160
+    train.loss_norm_momentum = 0.9
+    train.loss_weight = 1.0
+    train.reg_loss = "diou"
+    train.version = 2
+    return train
+
+
+def _base_eval():
+    ev = CfgNode()
+    ev.ranks = (1, 5)
+    ev.iou_threshs = (0.3, 0.5)
+    ev.pre_nms_thresh = 0.001
+    ev.pre_nms_topk = 2000
+    ev.seg_len_thresh = 0.1
+    ev.max_vid_len = None
+    ev.max_num_queries = 32     # query batching bucket cap (device batching)
+    ev.reference_exact = False  # replicate the reference per-query loop
+    ev.data = CfgNode()
+    return ev
+
+
+def _base_nms():
+    nms = CfgNode()
+    nms.mode = "soft_nms"
+    nms.iou_thresh = 0.1
+    nms.min_score = 0.001
+    nms.max_num_segs = 5
+    nms.sigma = 0.9
+    nms.voting_thresh = 0.95
+    return nms
+
+
+def _defaults_common(task):
+    cfg = CfgNode()
+    cfg.seed = None
+    cfg.task = task
+    cfg.aux = _base_aux()
+    cfg.model = _base_model()
+
+    cfg.loss = CfgNode()
+    cfg.loss.fc_a = 0.5   # focal alpha
+    cfg.loss.fc_s = 0.2   # focal label smoothing
+
+    cfg.pt_gen = CfgNode()
+    cfg.pt_gen.regression_range = 4
+    cfg.pt_gen.sigma = 0.5
+
+    cfg.train = _base_train()
+
+    cfg.optimizer = CfgNode()
+    cfg.optimizer.name = "adamw"
+    cfg.optimizer.lr = 1e-3
+    cfg.optimizer.weight_decay = 0.05
+    cfg.optimizer.clip_grad_norm = 1.0
+
+    cfg.scheduler = CfgNode()
+    cfg.scheduler.name = "multistep"
+    cfg.scheduler.steps = (-1,)
+    cfg.scheduler.gamma = 0.1
+
+    cfg.data = _base_data()
+    cfg.eval = _base_eval()
+    cfg.nms = _base_nms()
+
+    cfg.log = CfgNode()
+    cfg.log.log_interval = 100
+    cfg.log.root = "log"
+
+    # TPU-specific runtime knobs (no analogue in the reference)
+    cfg.tpu = CfgNode()
+    cfg.tpu.mesh_shape = None        # e.g. (8,) data-parallel; None = all devices
+    cfg.tpu.compute_dtype = "float32"  # "bfloat16" for speed, fp32 for parity
+    cfg.tpu.matmul_precision = "highest"
+    cfg.tpu.attention_backend = "auto"  # auto | xla | pallas
+    cfg.tpu.seq_buckets = ()         # extra static sequence-length buckets
+    return cfg
+
+
+def get_cfg_defaults(task="grounder"):
+    """Build the default config tree for a task.
+
+    Tasks mirror the reference: ``grounder`` (Ego4D-NLQ/GoalStep),
+    ``mad`` (movie-length stress config), ``charades`` (= mad +
+    short-video extras) (reference: libs/core/opt.py:514-547).
+    """
+    cfg = _defaults_common(task)
+    if task == "mad" or task == "charades":
+        cfg.train.microbatch_size = 1
+        cfg.eval.max_vid_len = 32768
+    if task == "charades":
+        cfg.data.group_method = None
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Derived fields (reference: libs/core/opt.py:458-499)
+# ---------------------------------------------------------------------------
+
+
+def update_opt(cfg):
+    """Compute fields derived from the base options (idempotent)."""
+    m = cfg.model
+    m.max_text_len = m.text_net.max_seq_len
+    m.max_vid_len = m.vid_net.max_seq_len
+    m.vid_stride = m.vid_net.stride
+    m.num_fpn_levels = m.vid_net.arch[-1]
+    m.mha_win_size = m.vid_net.mha_win_size
+    cfg.data.max_text_len = m.max_text_len
+    cfg.data.max_vid_len = m.vid_stride * m.max_vid_len
+    cfg.scheduler.epochs = cfg.train.epochs
+    cfg.scheduler.warmup_epochs = cfg.train.warmup_epochs
+
+    text_dim = m.text_net.embd_dim
+    vid_dim = m.vid_net.embd_dim
+    m.fusion.text_dim = text_dim
+    m.fusion.vid_dim = vid_dim
+    m.cls_head.embd_dim = vid_dim
+    m.reg_head.embd_dim = vid_dim
+    m.reg_head.num_fpn_levels = m.num_fpn_levels
+    cfg.pt_gen.num_fpn_levels = m.num_fpn_levels
+    cfg.pt_gen.max_seq_len = m.max_vid_len * 4
+    return cfg
+
+
+def update_eval_data(cfg):
+    """Backfill unset ``eval.data`` keys from ``data`` and switch split
+    (reference: libs/core/opt.py:494-499)."""
+    for k in cfg.data:
+        if cfg.eval.data.get(k) is None:
+            cfg.eval.data[k] = copy.deepcopy(cfg.data[k])
+    if cfg.data.eval_split is not None:
+        cfg.eval.data.split = cfg.data.eval_split
+    return cfg
+
+
+def update_from(cfg, ref):
+    """Recursively add keys present in ``ref`` but missing from ``cfg``.
+
+    Used at eval time to backfill a frozen opt.yaml snapshot with defaults
+    introduced after the snapshot was written
+    (reference: libs/core/utils.py:302-315).
+    """
+    cfg = cfg.clone()
+
+    def _merge(dst, src):
+        for k in src:
+            if k not in dst:
+                dst[k] = copy.deepcopy(src[k])
+            elif isinstance(dst[k], CfgNode) and isinstance(src[k], (dict, CfgNode)):
+                _merge(dst[k], src[k])
+
+    _merge(cfg, ref)
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# Experiment naming (reference: libs/core/utils.py:36-137)
+# ---------------------------------------------------------------------------
+
+
+def _flatten(cfg, prefix=""):
+    out = {}
+    for k, v in cfg.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, (dict, CfgNode)):
+            out.update(_flatten(v, key + "."))
+        else:
+            out[key] = v
+    return out
+
+
+def diff_dict(default, cfg, skip_prefixes=("aux.", "log.", "tpu.")):
+    """Flat {dotted.key: value} of entries in ``cfg`` differing from
+    ``default``; keys only present in ``cfg`` count as differences."""
+    fd, fc = _flatten(default), _flatten(cfg)
+    diff = {}
+    for k, v in fc.items():
+        if any(k.startswith(p) for p in skip_prefixes):
+            continue
+        if k not in fd or fd[k] != v:
+            diff[k] = v
+    return diff
+
+
+def _capitalize_key(key):
+    # "model.vid_net.embd_dim" -> "Model.VidNet.EmbdDim"
+    def cap(part):
+        return "".join(s[:1].upper() + s[1:] for s in part.split("_"))
+    return ".".join(cap(p) for p in key.split("."))
+
+
+def generate_expname(cfg, default, cfg_files=()):
+    """Experiment name = config file stems + diff-vs-default string."""
+    parts = []
+    ref = default.clone()
+    for f in cfg_files:
+        ref.merge_from_file(f)
+        stem = os.path.splitext(os.path.basename(f))[0]
+        parts.append(stem)
+    diff = diff_dict(ref, cfg)
+    if diff:
+        parts.append("-".join(f"{_capitalize_key(k)}:{v}" for k, v in sorted(diff.items())))
+    if cfg.aux.mark:
+        parts.append(cfg.aux.mark)
+    return "_".join(parts) if parts else "default"
+
+
+# ---------------------------------------------------------------------------
+# setup_cfg (reference: libs/core/utils.py:208-299)
+# ---------------------------------------------------------------------------
+
+
+def get_task(cfg_files=(), set_cfgs=None):
+    task = "grounder"
+    for fname in cfg_files:
+        with open(fname, "r") as f:
+            loaded = yaml.safe_load(f) or {}
+        task = loaded.get("task", task)
+    if set_cfgs:
+        for k, v in zip(set_cfgs[0::2], set_cfgs[1::2]):
+            if k == "task":
+                task = v
+    return task
+
+
+def setup_cfg(cfg_files=(), set_cfgs=None, logdir_root="log"):
+    """Build the final config: defaults <- files <- --set overrides, then
+    derive fields, generate the experiment name and the log dir, and resume
+    the random seed from a prior opt.yaml if the experiment already exists."""
+    task = get_task(cfg_files, set_cfgs)
+    cfg = get_cfg_defaults(task)
+
+    for f in cfg_files:
+        cfg.merge_from_file(f)
+    if set_cfgs:
+        cfg.merge_from_list(list(set_cfgs))
+
+    cfg.aux.cfg_file = tuple(cfg_files)
+    cfg.aux.set_cfgs = list(set_cfgs) if set_cfgs else None
+    cfg.aux.exp = generate_expname(cfg, get_cfg_defaults(task), cfg_files)
+
+    root = "log/test" if cfg.aux.debug else (cfg.log.root or logdir_root)
+    logdir = os.path.join(root, cfg.aux.log, cfg.aux.exp, str(cfg.aux.runid))
+
+    # resume random seed from a previous run of the same experiment
+    prev = os.path.join(logdir, "opt.yaml")
+    if os.path.exists(prev):
+        prev_cfg = CfgNode.load_file(prev)
+        if cfg.seed is None and prev_cfg.get("seed") is not None:
+            cfg.seed = prev_cfg["seed"]
+    if cfg.seed is None:
+        cfg.seed = _random.SystemRandom().randrange(10 ** 9)
+
+    update_opt(cfg)
+    update_eval_data(cfg)
+
+    cfg.aux.logdir = logdir
+    return cfg

@@ -1,0 +1,128 @@
+"""Masked 1D primitives with exact reference semantics, as pure JAX functions.
+
+All sequence tensors are channel-first ``(..., c, t)`` like the reference.
+Masks are boolean ``(..., 1, t)`` or ``(..., t)`` with True = valid.
+
+Reference semantics reproduced here:
+  * masked avg/max pooling        (reference: libs/modeling/blocks.py:9-47)
+  * nearest 1D interpolation      (torch F.interpolate(mode='nearest'))
+  * linear 1D interpolation       (torch align_corners=True, used for PE
+                                   overflow at eval, libs/modeling/video_net.py:146-151)
+  * sinusoid position encoding    (reference: libs/modeling/blocks.py:134-142)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def masked_avg_pool1d(x, mask):
+    """Global masked average over time: (..., c, t) -> (..., c, 1).
+
+    Reference: libs/modeling/blocks.py:9-17 (sum over valid / count).
+    """
+    mask = mask.astype(x.dtype)
+    x_sum = jnp.sum(x * mask, axis=-1, keepdims=True)
+    n = jnp.sum(mask, axis=-1, keepdims=True)
+    return x_sum / n
+
+
+def max_pool1d(x, kernel_size=3, stride=2, padding=None):
+    """torch.nn.functional.max_pool1d over the last axis (channel-first)."""
+    if padding is None:
+        padding = (kernel_size - 1) // 2
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    return jax.lax.reduce_window(
+        x,
+        init_value=neg,
+        computation=jax.lax.max,
+        window_dimensions=(1,) * (x.ndim - 1) + (kernel_size,),
+        window_strides=(1,) * (x.ndim - 1) + (stride,),
+        padding=[(0, 0)] * (x.ndim - 1) + [(padding, padding)],
+    )
+
+
+def masked_max_pool1d(x, mask, kernel_size=3, stride=2):
+    """Masked strided max pooling; invalid positions are replaced by the
+    per-sample minimum before pooling, and the pooled mask gates the output.
+
+    Reference: libs/modeling/blocks.py:31-47.
+    Returns (pooled_x, pooled_mask_bool).
+    """
+    x_min = jax.lax.stop_gradient(jnp.min(x, axis=-1, keepdims=True))
+    mask_f = mask.astype(x.dtype)
+    x = x * mask_f + (1.0 - mask_f) * x_min
+    x = max_pool1d(x, kernel_size, stride)
+    mask_f = max_pool1d(mask_f, kernel_size, stride)
+    x = x * mask_f
+    return x, mask_f.astype(bool)
+
+
+def interpolate_nearest_1d(x, size):
+    """torch F.interpolate(mode='nearest') over the last axis.
+
+    torch maps output index i to source index floor(i * in_size / out_size)
+    (computed in float32; we use the same float computation to match
+    edge-case rounding).
+    """
+    in_size = x.shape[-1]
+    scale = np.float32(in_size) / np.float32(size)
+    idx = np.floor(np.arange(size, dtype=np.float32) * scale).astype(np.int32)
+    idx = np.clip(idx, 0, in_size - 1)
+    return jnp.take(x, jnp.asarray(idx), axis=-1)
+
+
+def interpolate_linear_1d(x, size, align_corners=True):
+    """torch F.interpolate(mode='linear') over the last axis."""
+    in_size = x.shape[-1]
+    if align_corners:
+        if size == 1:
+            pos = np.zeros((1,), np.float32)
+        else:
+            pos = np.arange(size, dtype=np.float32) * (in_size - 1) / (size - 1)
+    else:
+        scale = in_size / size
+        pos = np.maximum((np.arange(size, dtype=np.float32) + 0.5) * scale - 0.5, 0.0)
+    lo = np.clip(np.floor(pos).astype(np.int32), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    w = jnp.asarray((pos - lo).astype(np.float32), dtype=x.dtype)
+    x_lo = jnp.take(x, jnp.asarray(lo), axis=-1)
+    x_hi = jnp.take(x, jnp.asarray(hi), axis=-1)
+    return x_lo * (1.0 - w) + x_hi * w
+
+
+def sinusoid_encoding(seq_len, n_freqs, dtype=np.float32):
+    """Sinusoid position encoding, shape (2 * n_freqs, seq_len).
+
+    Reference: libs/modeling/blocks.py:134-142 -- frequencies are
+    10000 ** linspace(0, 1, n_freqs + 1)[:n_freqs]; rows are all sines then
+    all cosines (NOT interleaved). Returned as a numpy constant so it can be
+    folded into the compiled graph.
+    """
+    tics = np.arange(seq_len, dtype=np.float32)
+    freqs = (10000.0 ** np.linspace(0, 1, n_freqs + 1,
+                                    dtype=np.float32))[:n_freqs]
+    x = tics[None, :] / freqs[:, None]
+    pe = np.concatenate([np.sin(x), np.cos(x)], axis=0)
+    return pe.astype(dtype)
+
+
+def channel_layer_norm(x, weight=None, bias=None, eps=1e-5):
+    """LayerNorm over the channel axis of (..., c, t) tensors.
+
+    Matches the reference's channel-first LayerNorm exactly: centered,
+    then divided by sqrt(mean(x_centered^2) + eps) (biased variance)
+    (reference: libs/modeling/blocks.py:109-131). ``weight``/``bias`` have
+    shape (c, 1) or (c,).
+    """
+    x = x - jnp.mean(x, axis=-2, keepdims=True)
+    sigma = jnp.mean(jnp.square(x), axis=-2, keepdims=True)
+    x = x * jax.lax.rsqrt(sigma + eps)
+    if weight is not None:
+        w = weight.reshape(weight.shape[0], 1) if weight.ndim == 1 else weight
+        b = bias.reshape(bias.shape[0], 1) if bias.ndim == 1 else bias
+        x = x * w + b
+    return x

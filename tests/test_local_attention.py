@@ -1,0 +1,86 @@
+"""Banded local attention: XLA/Pallas backends vs the brute-force oracle and
+vs a torch oracle replicating the reference's exact band softmax numerics."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from decafnet_tpu.ops import (
+    band_attention_xla,
+    band_attention_pallas,
+    band_attention_reference,
+)
+
+RNG = np.random.RandomState(1)
+
+
+def _inputs(b=2, h=4, t=96, d=16, lens=None):
+    q = RNG.randn(b, h, t, d).astype(np.float32)
+    k = RNG.randn(b, h, t, d).astype(np.float32)
+    v = RNG.randn(b, h, t, d).astype(np.float32)
+    mask = np.zeros((b, t), bool)
+    lens = lens or [t, t * 2 // 3]
+    for i, n in enumerate(lens):
+        mask[i, :n] = True
+    return q, k, v, mask
+
+
+def torch_band_oracle(q, k, v, mask, w):
+    """O(t^2) torch oracle of the reference band semantics: -inf outside the
+    band / sequence, additive -1e4 on invalid keys, zeroed invalid rows."""
+    s = w // 2
+    tq, tk, tv = map(torch.from_numpy, (q, k, v))
+    tm = torch.from_numpy(mask)
+    scores = torch.einsum("bhid,bhjd->bhij", tq, tk)
+    t = q.shape[2]
+    i = torch.arange(t)[:, None]
+    j = torch.arange(t)[None, :]
+    in_band = (i - j).abs() <= s
+    scores = scores + torch.where(tm[:, None, None, :],
+                                  torch.zeros(()), torch.full((), -1e4))
+    scores = scores.masked_fill(~in_band[None, None], float("-inf"))
+    attn = torch.softmax(scores, dim=-1)
+    attn = attn.masked_fill(~tm[:, None, :, None], 0.0)
+    return torch.einsum("bhij,bhjd->bhid", attn, tv).numpy()
+
+
+@pytest.mark.parametrize("t,window,chunk", [
+    (96, 5, 32), (96, 5, 128), (40, 9, 16), (130, 5, 64), (8, 5, 8),
+])
+def test_band_attention_xla_vs_torch(t, window, chunk):
+    q, k, v, mask = _inputs(t=t, lens=[t, max(1, t * 2 // 3)])
+    got = np.asarray(band_attention_xla(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        window, chunk=chunk))
+    want = torch_band_oracle(q, k, v, mask, window)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_band_attention_xla_vs_bruteforce_jax():
+    q, k, v, mask = _inputs(t=64)
+    got = np.asarray(band_attention_xla(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask), 5))
+    want = np.asarray(band_attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask), 5))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_band_attention_fully_masked_rows_are_zero():
+    q, k, v, mask = _inputs(t=32, lens=[20, 0])
+    out = np.asarray(band_attention_xla(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask), 5))
+    assert np.all(out[0, :, 20:] == 0)
+    assert np.all(out[1] == 0)
+    assert np.all(np.isfinite(out))
+
+
+@pytest.mark.parametrize("t,chunk", [(96, 32), (64, 64)])
+def test_band_attention_pallas_interpret(t, chunk):
+    q, k, v, mask = _inputs(t=t)
+    got = np.asarray(band_attention_pallas(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        5, chunk=chunk, interpret=True))
+    want = torch_band_oracle(q, k, v, mask, 5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
