@@ -1,0 +1,227 @@
+"""The DeCafNet grounder: delegation -> early fusion -> video FPN -> dual
+classification heads with TCN-based multi-scale temporal refinement ->
+anchor-free boundary regression.
+
+Re-implements the live reference model ``PtTransformerEarlyFusionIterative``
+(reference: libs/modeling/model.py:397-650) plus the two documented variants.
+Key structural difference from the reference: there is ONE forward for both
+training and evaluation. The reference's eval path loops over text queries in
+Python and re-encodes the video per query (libs/modeling/model.py:526-563);
+here a (video, query) pair is simply a batch row -- the evaluator batches all
+queries of a video into rows, which is numerically identical per row (every
+op is row-independent) but keeps the TPU's MXU saturated.
+
+Inputs (all static-shaped):
+  vid        (B, C_exp, T) expert clip features, repeated per query row
+  shallow_vid(B, C_side, T) sidekick clip features
+  vid_masks  (B, T) bool valid-clip mask
+  text       (B, C_txt, L) query token features
+  text_cls   (B, C_side) query CLS embedding (saliency probe)
+  text_masks (B, L) bool token mask
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..nn.blocks import MaskedConv1D
+from ..ops.delegation import delegate
+from ..ops.masked import interpolate_nearest_1d, masked_max_pool1d
+from .fusion import make_fusion
+from .heads import make_head
+from .tcn import TCN
+from .text_net import make_text_net
+from .video_net import make_video_net
+
+
+def _delegated_in_dim(model_cfg):
+    in_dim = model_cfg["vid_net"]["in_dim"]
+    if model_cfg.get("msf"):
+        in_dim *= 2
+    if model_cfg.get("scat"):
+        in_dim += 1
+    return in_dim
+
+
+class DeCafNetIterative(nn.Module):
+    """Live DeCafNet model (reference: libs/modeling/model.py:397-650)."""
+    cfg: Dict[str, Any]          # the `model` config subtree
+    second_fusion: bool = False  # reference constructs with False (worker_v2.py:193)
+
+    def setup(self):
+        m = self.cfg
+        vid_embd = m["vid_net"]["embd_dim"]
+        num_levels = m["vid_net"]["arch"][-1]
+        rdim = m.get("rdim") or 32
+
+        self.text_net = make_text_net(m["text_net"])
+        self.vid_map = MaskedConv1D(_delegated_in_dim(m), vid_embd, 1)
+        self.vid_net = make_video_net({**m["vid_net"], "in_dim": vid_embd})
+        self.fusion = make_fusion(m["fusion"])
+        self.cls_head = make_head(m["cls_head"])
+        self.refine = TCN(num_levels, rdim, rdim, num_layers=num_levels,
+                          in_map=True)
+        self.cls_head2 = make_head(
+            {**m["cls_head"], "embd_dim": m["cls_head"]["embd_dim"] + rdim})
+        self.reg_head = make_head(
+            {**m["reg_head"], "embd_dim": m["reg_head"]["embd_dim"] + rdim})
+        self.channel_drop = nn.Dropout(m["vid_net"].get("cdrop", 0.0),
+                                       broadcast_dims=(2,))
+
+    def encode_text(self, text, text_masks, deterministic=True):
+        return self.text_net(text, text_masks, deterministic=deterministic)
+
+    def encode_video(self, vid, vid_masks, deterministic=True):
+        return self.vid_net(vid, vid_masks, deterministic=deterministic)
+
+    def fuse_and_predict(self, fpn, fpn_masks, text, text_masks,
+                         deterministic=True):
+        """Dual heads with TCN refinement
+        (reference: libs/modeling/model.py:442-471)."""
+        if self.second_fusion:
+            fpn, fpn_masks = self.fusion(fpn, fpn_masks, text, text_masks,
+                                         deterministic=deterministic)
+        fpn_logits, _ = self.cls_head(fpn, fpn_masks)
+
+        # nearest-expand every level to the level-0 grid and stack (bs, L, T)
+        ref_len = fpn_logits[0].shape[1]
+        mask0 = fpn_masks[0][:, 0].astype(fpn_logits[0].dtype)
+        expanded = [fpn_logits[0]]
+        for logits in fpn_logits[1:]:
+            up = interpolate_nearest_1d(logits[:, None, :], ref_len)[:, 0]
+            expanded.append(up * mask0)
+        stacked = jnp.stack(expanded, axis=1)
+
+        refined = self.refine(stacked, fpn_masks[0],
+                              deterministic=deterministic)   # (bs, rdim, T)
+
+        # per-level concat, downsampling the refined map with masked max pool
+        new_fpn = ()
+        for i, f in enumerate(fpn):
+            if i != 0:
+                refined = masked_max_pool1d(refined, fpn_masks[i - 1])[0]
+            new_fpn += (jnp.concatenate([f, refined.astype(f.dtype)], axis=1),)
+
+        fpn_logits2, _ = self.cls_head2(new_fpn, fpn_masks)
+        fpn_offsets, out_masks = self.reg_head(new_fpn, fpn_masks)
+        return fpn_logits, fpn_logits2, fpn_offsets, out_masks
+
+    def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
+                 text_masks, deterministic=True):
+        m = self.cfg
+        vid, vid_masks, _ = delegate(
+            vid, shallow_vid, vid_masks, text_cls,
+            sn=m["sn"], ratio=m["sratio"], normalize=m.get("norm", False),
+            msf=m.get("msf", False), scat=m.get("scat", False),
+            sfonly=m.get("sfonly", False) and deterministic)
+
+        vid = self.channel_drop(vid, deterministic=deterministic)
+        vid, vm = self.vid_map(vid, vid_masks[:, None, :])
+
+        text_enc, text_mask_enc = self.encode_text(
+            text, text_masks, deterministic=deterministic)
+        vid, vm = self.fusion(vid, vm, text_enc, text_mask_enc,
+                              deterministic=deterministic)
+        fpn, fpn_masks = self.encode_video(vid, vm,
+                                           deterministic=deterministic)
+        return self.fuse_and_predict(fpn, fpn_masks, text_enc, text_mask_enc,
+                                     deterministic=deterministic)
+
+
+class DeCafNetEarlyFusion(nn.Module):
+    """Early-fusion variant with a single classification head
+    (reference: libs/modeling/model.py:163-373)."""
+    cfg: Dict[str, Any]
+    second_fusion: bool = True
+
+    def setup(self):
+        m = self.cfg
+        vid_embd = m["vid_net"]["embd_dim"]
+        self.text_net = make_text_net(m["text_net"])
+        self.vid_map = MaskedConv1D(_delegated_in_dim(m), vid_embd, 1)
+        self.vid_net = make_video_net({**m["vid_net"], "in_dim": vid_embd})
+        self.fusion = make_fusion(m["fusion"])
+        self.cls_head = make_head(m["cls_head"])
+        self.reg_head = make_head(m["reg_head"])
+        self.channel_drop = nn.Dropout(m["vid_net"].get("cdrop", 0.0),
+                                       broadcast_dims=(2,))
+
+    def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
+                 text_masks, deterministic=True):
+        m = self.cfg
+        vid, vid_masks, _ = delegate(
+            vid, shallow_vid, vid_masks, text_cls,
+            sn=m["sn"], ratio=m["sratio"], normalize=m.get("norm", False),
+            msf=m.get("msf", False), scat=m.get("scat", False),
+            sfonly=m.get("sfonly", False) and deterministic)
+        vid = self.channel_drop(vid, deterministic=deterministic)
+        vid, vm = self.vid_map(vid, vid_masks[:, None, :])
+        text_enc, text_mask_enc = self.text_net(
+            text, text_masks, deterministic=deterministic)
+        vid, vm = self.fusion(vid, vm, text_enc, text_mask_enc,
+                              deterministic=deterministic)
+        fpn, fpn_masks = self.vid_net(vid, vm, deterministic=deterministic)
+        if self.second_fusion:
+            fpn, fpn_masks = self.fusion(fpn, fpn_masks, text_enc,
+                                         text_mask_enc,
+                                         deterministic=deterministic)
+        fpn_logits, _ = self.cls_head(fpn, fpn_masks)
+        fpn_offsets, out_masks = self.reg_head(fpn, fpn_masks)
+        return fpn_logits, fpn_offsets, out_masks
+
+
+class DeCafNetLateFusion(nn.Module):
+    """Late-fusion variant: delegation -> FPN -> fusion on every level
+    (reference: libs/modeling/model.py:30-161, the 'default' architecture)."""
+    cfg: Dict[str, Any]
+
+    def setup(self):
+        m = self.cfg
+        self.text_net = make_text_net(m["text_net"])
+        self.vid_net = make_video_net(
+            {**m["vid_net"], "in_dim": _delegated_in_dim(m)})
+        self.fusion = make_fusion(m["fusion"])
+        self.cls_head = make_head(m["cls_head"])
+        self.reg_head = make_head(m["reg_head"])
+        self.channel_drop = nn.Dropout(m["vid_net"].get("cdrop", 0.0),
+                                       broadcast_dims=(2,))
+
+    def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
+                 text_masks, deterministic=True):
+        m = self.cfg
+        vid, vid_masks, _ = delegate(
+            vid, shallow_vid, vid_masks, text_cls,
+            sn=m["sn"], ratio=m["sratio"], normalize=m.get("norm", False),
+            msf=m.get("msf", False), scat=m.get("scat", False))
+        vid = self.channel_drop(vid, deterministic=deterministic)
+        fpn, fpn_masks = self.vid_net(vid, vid_masks[:, None, :],
+                                      deterministic=deterministic)
+        text_enc, text_mask_enc = self.text_net(
+            text, text_masks, deterministic=deterministic)
+        fpn, fpn_masks = self.fusion(fpn, fpn_masks, text_enc, text_mask_enc,
+                                     deterministic=deterministic)
+        fpn_logits, _ = self.cls_head(fpn, fpn_masks)
+        fpn_offsets, out_masks = self.reg_head(fpn, fpn_masks)
+        return fpn_logits, fpn_offsets, out_masks
+
+
+def make_model(cfg):
+    """Model factory (reference: libs/worker_v2.py:182-211 -- only 'iter' is
+    constructible in the released path; the variants are kept for parity
+    with the documented architectures)."""
+    name = cfg.model["name"]
+    model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
+    if name == "iter":
+        return DeCafNetIterative(model_cfg, second_fusion=False)
+    if name == "iter2":
+        return DeCafNetIterative(model_cfg, second_fusion=True)
+    if name == "early":
+        return DeCafNetEarlyFusion(model_cfg, second_fusion=False)
+    if name == "early2":
+        return DeCafNetEarlyFusion(model_cfg, second_fusion=True)
+    if name == "default":
+        return DeCafNetLateFusion(model_cfg)
+    raise ValueError(f"unknown model: {name}")

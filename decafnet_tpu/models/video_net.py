@@ -1,0 +1,125 @@
+"""Video FPN backbone (reference: libs/modeling/video_net.py)."""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.blocks import MaskedConv1D, LayerNorm, TransformerEncoder
+from ..ops.masked import sinusoid_encoding, interpolate_linear_1d
+
+
+class VideoTransformer(nn.Module):
+    """conv embedding -> scaled sinusoid PE -> stem encoders -> branch
+    encoders emitting the feature pyramid (stride 2 after the first branch)
+    (reference: libs/modeling/video_net.py:20-164).
+    """
+    in_dim: int
+    embd_dim: int
+    max_seq_len: int
+    n_heads: int
+    mha_win_size: int
+    stride: int = 1
+    arch: tuple = (2, 1, 6)
+    attn_pdrop: float = 0.0
+    proj_pdrop: float = 0.0
+    path_pdrop: float = 0.0
+    use_abs_pe: bool = False
+    pool_only: bool = False
+
+    def setup(self):
+        assert len(self.arch) == 3
+        assert self.stride & (self.stride - 1) == 0
+        assert self.arch[0] >= int(math.log2(max(self.stride, 1)))
+
+        self.embd_fc = MaskedConv1D(self.in_dim, self.embd_dim, 1)
+
+        convs, norms = [], []
+        stride = self.stride
+        for _ in range(self.arch[0]):
+            convs.append(MaskedConv1D(
+                self.embd_dim, self.embd_dim,
+                kernel_size=5 if stride > 1 else 3,
+                stride=2 if stride > 1 else 1,
+                padding=2 if stride > 1 else 1,
+                use_bias=False))
+            norms.append(LayerNorm(self.embd_dim))
+            stride = max(stride // 2, 1)
+        self.embd_convs = convs
+        self.embd_norms = norms
+
+        self.stem = [
+            TransformerEncoder(
+                self.embd_dim, stride=1, n_heads=self.n_heads,
+                window_size=self.mha_win_size, attn_pdrop=self.attn_pdrop,
+                proj_pdrop=self.proj_pdrop, path_pdrop=self.path_pdrop)
+            for _ in range(self.arch[1])
+        ]
+
+        if not self.pool_only:
+            self.branch = [
+                TransformerEncoder(
+                    self.embd_dim, stride=2 if idx > 0 else 1,
+                    n_heads=self.n_heads, window_size=self.mha_win_size,
+                    attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
+                    path_pdrop=self.path_pdrop)
+                for idx in range(self.arch[2])
+            ]
+        else:
+            self.branch = [
+                MaskedConv1D(self.embd_dim, self.embd_dim, 3,
+                             2 if idx > 0 else 1, 1,
+                             groups=self.embd_dim, use_bias=False)
+                for idx in range(self.arch[2])
+            ]
+
+    def __call__(self, x, mask, deterministic=True):
+        if mask.ndim == 2:
+            mask = mask[:, None, :]
+
+        x, _ = self.embd_fc(x, mask)
+        for conv, norm in zip(self.embd_convs, self.embd_norms):
+            x, mask = conv(x, mask)
+            x = jax.nn.relu(norm(x))
+
+        if self.use_abs_pe:
+            t = x.shape[-1]
+            pe = jnp.asarray(
+                sinusoid_encoding(self.max_seq_len, self.embd_dim // 2))
+            pe = pe / (self.embd_dim ** 0.5)
+            if not deterministic:
+                assert t <= self.max_seq_len
+            elif t > self.max_seq_len:
+                pe = interpolate_linear_1d(pe, t, align_corners=True)
+            x = x + pe[..., :t].astype(x.dtype) * mask.astype(x.dtype)
+
+        for block in self.stem:
+            x, mask = block(x, mask, deterministic=deterministic)
+
+        fpn, fpn_masks = (), ()
+        for block in self.branch:
+            if self.pool_only:
+                x, mask = block(x, mask)
+            else:
+                x, mask = block(x, mask, deterministic=deterministic)
+            fpn += (x,)
+            fpn_masks += (mask,)
+        return fpn, fpn_masks
+
+
+VIDEO_NETS = {"transformer": VideoTransformer}
+
+
+def make_video_net(opt):
+    """Registry constructor (reference: libs/modeling/video_net.py:167-186)."""
+    opt = dict(opt)
+    name = opt.pop("name")
+    cls = VIDEO_NETS[name]
+    fields = set(cls.__dataclass_fields__)
+    kwargs = {k: v for k, v in opt.items() if k in fields}
+    if "arch" in kwargs:
+        kwargs["arch"] = tuple(kwargs["arch"])
+    return cls(**kwargs)

@@ -55,6 +55,7 @@ class Conv1d(nn.Module):
     stride: int = 1
     padding: int = 0
     groups: int = 1
+    dilation: int = 1
     use_bias: bool = True
     zero_bias: bool = True
 
@@ -68,6 +69,7 @@ class Conv1d(nn.Module):
             x, w.astype(x.dtype),
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
             dimension_numbers=("NCH", "OIH", "NCH"),
             feature_group_count=self.groups,
         )

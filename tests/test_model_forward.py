@@ -1,0 +1,91 @@
+"""Shape/NaN smoke tests for the full DeCafNet forward on tiny configs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from decafnet_tpu.core import get_cfg_defaults, update_opt
+from decafnet_tpu.models import make_model, generate_points, fpn_lengths
+
+
+def tiny_cfg(name="iter"):
+    cfg = get_cfg_defaults("grounder")
+    cfg.model.name = name
+    cfg.model.vid_net.in_dim = 32
+    cfg.model.vid_net.embd_dim = 16
+    cfg.model.vid_net.max_seq_len = 64
+    cfg.model.vid_net.arch = (1, 0, 3)
+    cfg.model.text_net.in_dim = 24
+    cfg.model.text_net.embd_dim = 16
+    cfg.model.text_net.n_layers = 2
+    cfg.model.fusion.n_layers = 1
+    cfg.model.sratio = 0.5
+    cfg.model.sn = 8
+    update_opt(cfg)
+    return cfg
+
+
+def make_inputs(rng, B=3, C=32, T=64, Ct=24, L=10, lens=(64, 40, 17)):
+    vid = rng.randn(B, C, T).astype(np.float32)
+    shallow = rng.randn(B, C, T).astype(np.float32)
+    vm = np.zeros((B, T), bool)
+    for i, n in enumerate(lens):
+        vm[i, :n] = True
+    text = rng.randn(B, Ct, L).astype(np.float32)
+    tcls = rng.randn(B, C).astype(np.float32)
+    tm = np.ones((B, L), bool)
+    tm[1, 6:] = False
+    return tuple(map(jnp.asarray, (vid, shallow, vm, text, tcls, tm)))
+
+
+@pytest.mark.parametrize("name,n_out", [("iter", 4), ("early", 3), ("default", 3)])
+def test_forward_shapes(name, n_out):
+    rng = np.random.RandomState(0)
+    cfg = tiny_cfg(name)
+    model = make_model(cfg)
+    inputs = make_inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), *inputs, deterministic=True)
+    outs = model.apply(params, *inputs, deterministic=True)
+    assert len(outs) == n_out
+
+    L = cfg.model.num_fpn_levels
+    lens = fpn_lengths(64, L)
+    if name == "iter":
+        logits1, logits2, offsets, masks = outs
+    else:
+        logits1, offsets, masks = outs
+        logits2 = logits1
+    assert len(logits1) == L
+    for lvl in range(L):
+        assert logits1[lvl].shape == (3, lens[lvl])
+        assert logits2[lvl].shape == (3, lens[lvl])
+        assert offsets[lvl].shape == (3, lens[lvl], 2)
+        assert masks[lvl].shape == (3, lens[lvl])
+        assert np.all(np.isfinite(np.asarray(logits2[lvl])))
+        assert np.all(np.asarray(offsets[lvl]) >= 0)
+
+
+def test_forward_train_mode_with_dropout_rngs():
+    rng = np.random.RandomState(1)
+    cfg = tiny_cfg("iter")
+    model = make_model(cfg)
+    inputs = make_inputs(rng)
+    params = model.init(jax.random.PRNGKey(0), *inputs, deterministic=True)
+    outs = model.apply(params, *inputs, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(7)})
+    assert np.all(np.isfinite(np.asarray(outs[1][0])))
+
+
+def test_points_generator():
+    pts = generate_points(256, 7, regression_range=4, sigma=0.5)
+    assert len(pts) == 7
+    assert pts[0].shape == (256, 4)
+    assert pts[6].shape == (4, 4)
+    # level-0 range [0, 4]; doubling thereafter; last max >= max_seq_len + 1
+    np.testing.assert_allclose(pts[0][0, 1:3], [0, 4])
+    np.testing.assert_allclose(pts[1][0, 1:3], [2, 8])
+    np.testing.assert_allclose(pts[2][0, 1:3], [4, 16])
+    assert pts[6][0, 2] >= 257
+    np.testing.assert_allclose(pts[3][:, 3], 8.0)
