@@ -65,6 +65,9 @@ def delegation_weights(correl, vid_masks, sn, ratio):
     nbins = jnp.sum(bin_valid.astype(jnp.int32), axis=-1)         # (B,)
     # int(ratio * nbins): float multiply then truncation, like the reference
     k_keep = (ratio * nbins.astype(jnp.float32)).astype(jnp.int32)
+    # reference quirk: ranked[-0:] selects ALL bins, so k == 0 keeps every bin
+    # (reference: libs/modeling/model.py:599 with int(ratio*nbins) == 0)
+    k_keep = jnp.where(k_keep == 0, nbins, k_keep)
 
     # rank bins by mean, descending; invalid bins sink to the bottom.
     # rank = argsort(argsort(.)) gives each bin its position in sorted order.

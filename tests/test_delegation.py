@@ -24,10 +24,11 @@ def torch_delegation_oracle(correl, masks, sn, ratio):
         cb = F.avg_pool1d(correl[b, None, :vid_len], kernel_size=sn,
                           stride=sn, ceil_mode=True)[0]
         ranked = cb.argsort()
+        # NOTE ranked[-0:] selects ALL bins -- the reference inherits this
+        # Python slicing quirk and so must we
         topk = ranked[-int(ratio * cb.shape[0]):]
         weight = torch.zeros_like(cb)
-        if int(ratio * cb.shape[0]) > 0:
-            weight[topk] = 1
+        weight[topk] = 1
         weight = F.interpolate(weight[None, None, :], size=vid_len,
                                mode="nearest")[0, 0]
         all_weight[b, :vid_len] = weight

@@ -1,0 +1,133 @@
+"""End-to-end numerical parity: the flax DeCafNet, loaded with a torch
+reference model's randomly-initialized state_dict, must reproduce the torch
+forward outputs. This is the checkpoint-import guarantee (BASELINE.md):
+released .pth weights produce matching moment predictions.
+
+The reference implementation at /root/reference is imported READ-ONLY as the
+oracle (torch CPU).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/reference")
+
+from decafnet_tpu.core import get_cfg_defaults, update_opt
+from decafnet_tpu.models import make_model, generate_points
+from decafnet_tpu.models.import_torch import (
+    state_dict_to_params,
+    params_to_state_dict,
+)
+
+torch.manual_seed(0)
+
+
+def small_cfg(msf=False, scat=False, sratio=0.3):
+    cfg = get_cfg_defaults("grounder")
+    cfg.model.name = "iter"
+    cfg.model.vid_net.in_dim = 32
+    cfg.model.vid_net.embd_dim = 32
+    cfg.model.vid_net.max_seq_len = 64
+    cfg.model.vid_net.arch = (2, 0, 3)
+    cfg.model.vid_net.proj_pdrop = 0.0
+    cfg.model.vid_net.path_pdrop = 0.0
+    cfg.model.text_net.in_dim = 24
+    cfg.model.text_net.embd_dim = 32
+    cfg.model.text_net.n_layers = 2
+    cfg.model.fusion.n_layers = 2
+    cfg.model.fusion.proj_pdrop = 0.0
+    cfg.model.fusion.path_pdrop = 0.0
+    cfg.model.sratio = sratio
+    cfg.model.sn = 8
+    cfg.model.msf = msf
+    cfg.model.scat = scat
+    update_opt(cfg)
+    return cfg
+
+
+def build_reference_model(cfg):
+    from libs.modeling.model import PtTransformerEarlyFusionIterative
+
+    ref_cfg = cfg.clone()  # reference ctor mutates cls/reg head dims
+    model = PtTransformerEarlyFusionIterative(ref_cfg, second_fusion=False)
+    model.eval()
+    return model
+
+
+def make_inputs(rng, B=3, C=32, T=64, Ct=24, L=8, lens=(64, 40, 17)):
+    vid = rng.randn(B, C, T).astype(np.float32)
+    shallow = rng.randn(B, C, T).astype(np.float32)
+    vm = np.zeros((B, T), bool)
+    for i, n in enumerate(lens):
+        vm[i, :n] = True
+    text = rng.randn(B, Ct, L).astype(np.float32)
+    tcls = rng.randn(B, C).astype(np.float32)
+    tm = np.ones((B, L), bool)
+    tm[1, 6:] = False
+    return vid, shallow, vm, text, tcls, tm
+
+
+@pytest.mark.parametrize("msf,scat", [(False, False), (True, True)])
+def test_forward_parity_vs_reference(msf, scat):
+    cfg = small_cfg(msf=msf, scat=scat)
+    ref_model = build_reference_model(cfg)
+    sd = ref_model.state_dict()
+
+    model = make_model(cfg)
+    rng = np.random.RandomState(3)
+    vid, shallow, vm, text, tcls, tm = make_inputs(rng)
+    jinputs = tuple(map(jnp.asarray, (vid, shallow, vm, text, tcls, tm)))
+    template = model.init(jax.random.PRNGKey(0), *jinputs,
+                          deterministic=True)["params"]
+    params = state_dict_to_params(sd, template=template)
+
+    got = model.apply({"params": params}, *jinputs, deterministic=True)
+
+    with torch.no_grad():
+        want = ref_model._drop_forward(
+            torch.from_numpy(vid), torch.from_numpy(shallow),
+            torch.from_numpy(vm), torch.from_numpy(text),
+            torch.from_numpy(tcls), torch.from_numpy(tm),
+            text_size=torch.ones(len(vid), dtype=torch.long), eval=False)
+
+    names = ("logits1", "logits2", "offsets", "masks")
+    for name, g_t, w_t in zip(names, got, want):
+        for lvl, (g, w) in enumerate(zip(g_t, w_t)):
+            g = np.asarray(g)
+            w = w.numpy()
+            if name == "masks":
+                w = w.astype(bool) if w.dtype != bool else w
+                np.testing.assert_array_equal(g, w, err_msg=f"{name}[{lvl}]")
+            else:
+                np.testing.assert_allclose(
+                    g, w, rtol=2e-3, atol=2e-4,
+                    err_msg=f"{name}[{lvl}] max|w|={np.abs(w).max():.3f}")
+
+
+def test_state_dict_roundtrip():
+    cfg = small_cfg()
+    ref_model = build_reference_model(cfg)
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    params = state_dict_to_params(sd)
+    back = params_to_state_dict(params)
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k])
+
+
+def test_point_generator_parity():
+    from libs.modeling.model import PtGenerator
+
+    ref = PtGenerator(max_seq_len=256, num_fpn_levels=7,
+                      regression_range=4, sigma=0.5)
+    ref_pts = [p.numpy() for p in ref.buffer_points]
+    got_pts = generate_points(256, 7, regression_range=4, sigma=0.5)
+    assert len(ref_pts) == len(got_pts)
+    for g, w in zip(got_pts, ref_pts):
+        np.testing.assert_allclose(g, w)
