@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Benchmark: video-seconds grounded per wall-second per chip.
+
+Measures the full eval-side pipeline on NLQ-scale shapes (delegation ->
+early fusion -> 7-level banded-attention FPN -> dual heads with TCN
+refinement -> proposal decode -> on-device SoftNMS + voting), steady-state,
+on the available accelerator.
+
+``vs_baseline`` is the speedup over the reference's evaluation STRUCTURE on
+the same chip: the reference loops queries in Python and re-encodes the
+video once per query (reference: libs/modeling/model.py:480-565,
+libs/worker_v2.py:940-955), so the baseline runs the identical compiled
+pipeline with query-batch 1, once per query. This isolates the gain of the
+TPU-native batched design from raw hardware differences.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build(cfg_overrides=None):
+    import jax
+    import jax.numpy as jnp
+    from decafnet_tpu.core import get_cfg_defaults, update_opt
+    from decafnet_tpu.models import make_model
+
+    cfg = get_cfg_defaults("grounder")
+    # Ego4D-NLQ scale (reference defaults: libs/core/opt.py:75-200 with the
+    # released DeCafNet-30% knobs: sratio 0.3, sn 60, two 256-d streams)
+    cfg.model.name = "iter"
+    cfg.model.vid_net.in_dim = 256
+    cfg.model.vid_net.embd_dim = 128
+    cfg.model.vid_net.max_seq_len = 2304
+    cfg.model.vid_net.arch = (2, 0, 7)
+    cfg.model.vid_net.mha_win_size = 5
+    cfg.model.text_net.in_dim = 512
+    cfg.model.text_net.embd_dim = 128
+    cfg.model.sratio = 0.3
+    cfg.model.sn = 60
+    cfg.model.msf = True
+    cfg.seed = 0
+    if cfg_overrides:
+        for k, v in cfg_overrides.items():
+            node = cfg
+            parts = k.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            node[parts[-1]] = v
+    update_opt(cfg)
+    return cfg
+
+
+def make_decode_fn(cfg, Q, T):
+    """Jitted full eval step for Q queries over one video of length T."""
+    import jax
+    import jax.numpy as jnp
+    from decafnet_tpu.models import (fpn_lengths, generate_points,
+                                     select_points, make_model)
+    from decafnet_tpu.ops.nms import batched_nms_device
+
+    model = make_model(cfg)
+    rng = np.random.RandomState(0)
+    L = cfg.data.max_text_len
+    cv, ct = cfg.model.vid_net.in_dim, cfg.model.text_net.in_dim
+
+    vid = rng.randn(1, cv, T).astype(np.float32)
+    shallow = rng.randn(1, cv, T).astype(np.float32)
+    vm = np.ones((1, T), bool)
+    text = rng.randn(Q, ct, L).astype(np.float32)
+    tcls = rng.randn(Q, cv).astype(np.float32)
+    tm = np.ones((Q, L), bool)
+
+    import jax.random as jrandom
+    params = model.init(jrandom.PRNGKey(0),
+                        np.repeat(vid, Q, 0), np.repeat(shallow, Q, 0),
+                        np.repeat(vm, Q, 0), text, tcls, tm,
+                        deterministic=True)["params"]
+
+    lens = fpn_lengths(T // cfg.model.vid_stride, cfg.model.num_fpn_levels)
+    points = np.concatenate(select_points(
+        generate_points(max(cfg.pt_gen.max_seq_len, T * 4),
+                        cfg.pt_gen.num_fpn_levels,
+                        cfg.pt_gen.regression_range, cfg.pt_gen.sigma),
+        lens))
+    points = jnp.asarray(points)
+    topk = min(cfg.eval.pre_nms_topk, points.shape[0])
+    nms = dict(cfg.nms)
+
+    @jax.jit
+    def decode(params, vid, shallow, vm, text, tcls, tm):
+        vid_q = jnp.repeat(vid, Q, axis=0)
+        shallow_q = jnp.repeat(shallow, Q, axis=0)
+        vm_q = jnp.repeat(vm, Q, axis=0)
+        _, logits2, offsets, masks = model.apply(
+            {"params": params}, vid_q, shallow_q, vm_q, text, tcls, tm,
+            deterministic=True)
+        scores = jnp.concatenate(
+            [jax.nn.sigmoid(l) * m for l, m in zip(logits2, masks)], axis=1)
+        offs = jnp.concatenate(offsets, axis=1)
+        ranked = jnp.where(scores > cfg.eval.pre_nms_thresh, scores, -1.0)
+        top_scores, top_idx = jax.lax.top_k(ranked, topk)
+        pts = points[top_idx]
+        off = jnp.take_along_axis(offs, top_idx[..., None], axis=1)
+        left = pts[..., 0] - off[..., 0] * pts[..., 3]
+        right = pts[..., 0] + off[..., 1] * pts[..., 3]
+        segs = jnp.stack([left, right], axis=-1)
+        valid = (top_scores > cfg.eval.pre_nms_thresh) & \
+            ((right - left) > cfg.eval.seg_len_thresh)
+        return batched_nms_device(
+            segs, jnp.where(valid, top_scores, 0.0), valid,
+            nms["max_num_segs"], mode=nms["mode"],
+            iou_thresh=nms["iou_thresh"], min_score=nms["min_score"],
+            sigma=nms["sigma"], voting_thresh=nms["voting_thresh"])
+
+    args = (params, jnp.asarray(vid), jnp.asarray(shallow), jnp.asarray(vm),
+            jnp.asarray(text), jnp.asarray(tcls), jnp.asarray(tm))
+    return decode, args
+
+
+def timed(fn, args, warmup=2, iters=8):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+
+    Q, T = 8, 2304
+    clip_stride, fps = 16, 30.0
+    cfg = build()
+
+    decode, args = make_decode_fn(cfg, Q, T)
+    t_batched = timed(decode, args)
+
+    # reference eval structure: one query at a time, video re-encoded per
+    # query -> Q sequential single-query programs
+    decode1, args1 = make_decode_fn(cfg, 1, T)
+    t_one = timed(decode1, args1)
+    t_sequential = t_one * Q
+
+    video_seconds = T * clip_stride / fps  # seconds of video per program
+    value = video_seconds / t_batched      # per chip (single-chip bench)
+    baseline = video_seconds / t_sequential
+    print(json.dumps({
+        "metric": "video_sec_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "video-seconds/sec/chip (encode+ground+decode, Q=8 queries)",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -79,9 +79,12 @@ class CfgNode(dict):
             node = self
             parts = key.split(".")
             for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"unknown config key: {key}")
                 node = node[p]
-            old = node.get(parts[-1], None)
-            node[parts[-1]] = _parse_value(value, old)
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config key: {key}")
+            node[parts[-1]] = _parse_value(value, node[parts[-1]])
 
     # -- yaml --------------------------------------------------------------
     def dump(self):

@@ -1,0 +1,79 @@
+"""Minimal deterministic data loader with background prefetch.
+
+Replaces the reference's torch DataLoader + DistributedSampler
+(reference: libs/data/dataset.py:1278-1307): per-epoch shuffling comes from
+an explicit seeded RNG (identical across hosts), each host reads its own
+rank-strided shard, and a thread pool overlaps feature IO with device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+class DataLoader:
+    """Iterates batches of raw sample dicts (batch assembly is the caller's
+    job, mirroring the reference's trivial collator)."""
+
+    def __init__(self, dataset, batch_size, shuffle, seed=2022,
+                 drop_last=True, rank=0, world_size=1, num_threads=4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.rank = rank
+        self.world_size = world_size
+        self.num_threads = max(1, num_threads)
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+        self.dataset.set_epoch(epoch)
+
+    def _epoch_indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        if self.world_size > 1:
+            # rank-strided shard, equal-size with drop_last semantics
+            per = n // self.world_size if self.drop_last else -(-n // self.world_size)
+            idx = idx[self.rank::self.world_size][:per]
+        return idx
+
+    def __len__(self):
+        n = len(self._epoch_indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        idx = self._epoch_indices()
+        n_batches = len(self)
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_batches)]
+
+        if self.num_threads <= 1:
+            for b in batches:
+                yield [self.dataset[int(i)] for i in b]
+            return
+
+        q = queue.Queue(maxsize=2)
+
+        def worker():
+            for b in batches:
+                q.put([self.dataset[int(i)] for i in b])
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item

@@ -240,8 +240,18 @@ class MaskedMHA(nn.Module):
         else:
             scores = jnp.einsum("bhid,bhjd->bhij", qh, kh,
                                 preferred_element_type=jnp.float32)
-            scores = jnp.where(mask2d[:, None, None, :], scores, -jnp.inf)
-            attn = jax.nn.softmax(scores, axis=-1)
+            kv_valid = mask2d[:, None, None, :]
+            scores = jnp.where(kv_valid, scores, -jnp.inf)
+            # NaN-safe masked softmax: identical to softmax over the -inf
+            # filled scores when >= 1 key is valid (exp(-inf) = 0), but
+            # resolves fully-masked rows (padded query rows, which the
+            # reference never sees) to zeros instead of NaN.
+            smax = jnp.max(scores, axis=-1, keepdims=True)
+            smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+            attn = jnp.exp(scores - smax)
+            attn = jnp.where(kv_valid, attn, 0.0)
+            denom = jnp.sum(attn, axis=-1, keepdims=True)
+            attn = attn / jnp.maximum(denom, jnp.finfo(attn.dtype).tiny)
             attn = self.attn_drop(attn, deterministic=deterministic)
             out = jnp.einsum("bhij,bhjd->bhid", attn.astype(vh.dtype), vh,
                              preferred_element_type=jnp.float32).astype(q.dtype)

@@ -1,0 +1,342 @@
+"""The jitted SPMD train step and the training loop.
+
+Reference control flow (libs/worker_v2.py:213-723) mapped to JAX:
+  * one jitted, donated train step = microbatch `lax.scan` (grad
+    accumulation; replaces the no_sync loop at worker_v2.py:366-377)
+    -> global loss normalization -> optax update (incl. grad clipping)
+    -> EMA lerp -> loss-norm EMA update. Cross-host reductions are implicit:
+    batches are sharded over the ('data',) mesh and global sums compile to
+    XLA all-reduces (replacing DDP averaging x world_size and the explicit
+    all_gather of the positive-point count, worker_v2.py:379-382,447-463).
+  * loss = (focal(cls1) + focal(cls2)) / 2 + loss_weight * DIoU, each summed
+    over valid points and divided by the running EMA loss normalizer
+    (worker_v2.py:439-465).
+  * checkpoints: native msgpack state + a torch-layout .pth export with the
+    reference's {'model','model_ema'} split (worker_v2.py:675-696).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization, struct
+
+from ..data import DataLoader, batchify_train, make_dataset
+from ..models import fpn_lengths, generate_points, make_model, select_points
+from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..utils.logging import AverageMeter, Logger, time_str
+from .annotate import annotate_points
+from .losses import calc_focal_loss, calc_iou_loss
+from .optim import ema_update, make_optimizer, make_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: dict
+    ema_params: dict
+    opt_state: tuple
+    loss_norm: jnp.ndarray
+
+
+def build_train_step(model, optimizer, points, cfg):
+    """Build the jitted train step closure.
+
+    ``points`` is the (P, 4) concatenation of per-level candidate points
+    matching the model's FPN lengths for the static input length.
+    """
+    max_num_text = cfg.data.max_num_text or 1
+    micro = cfg.train.microbatch_size or cfg.train.batch_size
+    loss_cfg = dict(
+        fc_a=cfg.loss.fc_a, fc_s=cfg.loss.fc_s,
+        reg_loss=cfg.train.reg_loss, loss_weight=cfg.train.loss_weight,
+        center_sampling=cfg.train.center_sampling,
+        center_sampling_radius=cfg.train.center_sampling_radius,
+        loss_norm_momentum=cfg.train.loss_norm_momentum,
+        ema_beta=cfg.train.ema_beta,
+        vid_stride=cfg.model.vid_stride,
+    )
+    points = jnp.asarray(points)
+
+    def microbatch_loss(params, mb, rng, loss_norm):
+        vid = jnp.repeat(mb["vid"], max_num_text, axis=0)
+        shallow = jnp.repeat(mb["shallow_vid"], max_num_text, axis=0)
+        vmask = jnp.repeat(mb["vid_masks"], max_num_text, axis=0)
+
+        logits1, logits2, offsets, masks = model.apply(
+            {"params": params}, vid, shallow, vmask,
+            mb["text"], mb["text_cls"], mb["text_masks"],
+            deterministic=False, rngs={"dropout": rng})
+
+        logits1 = jnp.concatenate(logits1, axis=1)       # (R, P)
+        logits2 = jnp.concatenate(logits2, axis=1)
+        offsets = jnp.concatenate(offsets, axis=1)       # (R, P, 2)
+        masks = jnp.concatenate(masks, axis=1)           # (R, P)
+        masks = masks & mb["row_valid"][:, None]
+
+        targets = mb["targets"] / loss_cfg["vid_stride"]
+        gt_labels, gt_offsets = annotate_points(
+            points, targets,
+            center_sampling=loss_cfg["center_sampling"],
+            center_sampling_radius=loss_cfg["center_sampling_radius"])
+
+        pos_masks = gt_labels & masks
+        norm = jnp.sum(pos_masks).astype(jnp.float32)
+
+        cls1 = calc_focal_loss(logits1, gt_labels, masks,
+                               smoothing=loss_cfg["fc_s"],
+                               alpha=loss_cfg["fc_a"]) / loss_norm
+        cls2 = calc_focal_loss(logits2, gt_labels, masks,
+                               smoothing=loss_cfg["fc_s"],
+                               alpha=loss_cfg["fc_a"]) / loss_norm
+        cls_loss = (cls1 + cls2) / 2
+        reg_loss = calc_iou_loss(offsets, gt_offsets, pos_masks,
+                                 reg_loss=loss_cfg["reg_loss"]) / loss_norm
+        total = cls_loss + loss_cfg["loss_weight"] * reg_loss
+        return total, {"cls": cls_loss, "reg": reg_loss, "total": total,
+                       "norm": norm}
+
+    def split_micro(batch, n_micro):
+        def rs(x, rows_per):
+            return x.reshape((n_micro, rows_per) + x.shape[1:])
+        out = {}
+        for k, v in batch.items():
+            rows = v.shape[0]
+            out[k] = rs(v, rows // n_micro)
+        return out
+
+    def train_step(state, batch, rng):
+        bsz = batch["vid"].shape[0]
+        n_micro = max(bsz // micro, 1)
+
+        grad_fn = jax.value_and_grad(microbatch_loss, has_aux=True)
+
+        if n_micro == 1:
+            (_, metrics), grads = grad_fn(state.params, batch, rng,
+                                          state.loss_norm)
+        else:
+            mbs = split_micro(batch, n_micro)
+            rngs = jax.random.split(rng, n_micro)
+
+            def body(carry, xs):
+                grads_acc, metrics_acc = carry
+                mb, r = xs
+                (_, m), g = grad_fn(state.params, mb, r, state.loss_norm)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+                metrics_acc = jax.tree.map(jnp.add, metrics_acc, m)
+                return (grads_acc, metrics_acc), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            zero_metrics = {k: jnp.float32(0.0)
+                            for k in ("cls", "reg", "total", "norm")}
+            (grads, metrics), _ = jax.lax.scan(
+                body, (zero_grads, zero_metrics), (mbs, rngs))
+
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        ema = ema_update(params, state.ema_params, loss_cfg["ema_beta"])
+
+        mom = loss_cfg["loss_norm_momentum"]
+        new_norm = (mom * state.loss_norm
+                    + (1.0 - mom) * jnp.maximum(metrics["norm"], 1.0))
+
+        new_state = TrainState(
+            step=state.step + 1, params=params, ema_params=ema,
+            opt_state=opt_state, loss_norm=new_norm)
+        return new_state, metrics
+
+    return train_step
+
+
+class Trainer:
+    """Training orchestration (reference: libs/worker_v2.py:213-723)."""
+
+    def __init__(self, cfg, mesh=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.tpu.mesh_shape)
+        self.rng = jax.random.PRNGKey(cfg.seed)
+        np_rng = np.random.RandomState(cfg.seed)
+
+        self.num_epochs = cfg.train.epochs + cfg.train.warmup_epochs
+        self.dataset = make_dataset(cfg, num_epochs=self.num_epochs,
+                                    is_training=True, rng=np_rng)
+        self.batch_size = cfg.train.batch_size
+        self.loader = DataLoader(self.dataset, self.batch_size, shuffle=True,
+                                 seed=cfg.seed,
+                                 num_threads=cfg.train.num_workers)
+        self.itrs_per_epoch = len(self.loader)
+        self.num_itrs = self.num_epochs * self.itrs_per_epoch
+        self.epoch = self.itr = 0
+
+        self.max_num_text = cfg.data.max_num_text or 1
+        self.input_vid_len = cfg.data.max_vid_len
+
+        # model + params from one real batch's shapes
+        self.model = make_model(cfg)
+        sample = self.dataset[0]
+        init_batch = batchify_train([sample], self.input_vid_len,
+                                    cfg.data.max_text_len, self.max_num_text)
+        self.rng, init_rng = jax.random.split(self.rng)
+        params = self.model.init(
+            init_rng,
+            np.repeat(init_batch["vid"], self.max_num_text, 0),
+            np.repeat(init_batch["shallow_vid"], self.max_num_text, 0),
+            np.repeat(init_batch["vid_masks"], self.max_num_text, 0),
+            init_batch["text"], init_batch["text_cls"],
+            init_batch["text_masks"], deterministic=True)["params"]
+
+        if cfg.model.pretrain:
+            from ..models.import_torch import load_torch_checkpoint
+            params = load_torch_checkpoint(cfg.model.pretrain, "model",
+                                           template=params)
+
+        # candidate points for the static train length
+        level0 = self.input_vid_len // cfg.model.vid_stride
+        lens = fpn_lengths(level0, cfg.model.num_fpn_levels)
+        all_points = generate_points(
+            cfg.pt_gen.max_seq_len, cfg.pt_gen.num_fpn_levels,
+            cfg.pt_gen.regression_range, cfg.pt_gen.sigma)
+        self.points = np.concatenate(select_points(all_points, lens))
+
+        sched_cfg = dict(cfg.scheduler)
+        sched_cfg["_base_lr"] = cfg.optimizer.lr
+        schedule = make_schedule(sched_cfg, self.itrs_per_epoch)
+        self.optimizer = make_optimizer(params, cfg.optimizer, schedule)
+        opt_state = self.optimizer.init(params)
+
+        self.state = TrainState(
+            step=jnp.int32(0), params=params,
+            ema_params=jax.tree.map(jnp.copy, params),
+            opt_state=opt_state,
+            loss_norm=jnp.float32(cfg.train.loss_norm))
+
+        self._step_fn = jax.jit(
+            build_train_step(self.model, self.optimizer, self.points, cfg),
+            donate_argnums=(0,))
+
+        root = cfg.aux.logdir
+        os.makedirs(os.path.join(root, "models"), exist_ok=True)
+        os.makedirs(os.path.join(root, "states"), exist_ok=True)
+        self.logger = Logger(os.path.join(root, "log.txt"))
+        self.loss_meters = {}
+        self.timer = AverageMeter()
+        self.log_interval = cfg.aux.log_interval
+
+        if os.path.exists(os.path.join(root, "models", "last.msgpack")):
+            self.load()
+
+        self.evaluator = None
+        if cfg.aux.eval_run and cfg.aux.eval_run > 0:
+            from ..eval.evaluator import Evaluator
+            self.evaluator = Evaluator(cfg, mesh=self.mesh, train_time=True)
+
+    # -- checkpointing ------------------------------------------------------
+
+    def _state_blob(self):
+        return {
+            "params": self.state.params,
+            "ema_params": self.state.ema_params,
+            "opt_state": self.state.opt_state,
+            "loss_norm": self.state.loss_norm,
+            "step": self.state.step,
+            "epoch": self.epoch,
+            "itr": self.itr,
+        }
+
+    def checkpoint(self):
+        root = self.cfg.aux.logdir
+        blob = serialization.to_bytes(jax.device_get(self._state_blob()))
+        for name in ("last.msgpack", f"{self.epoch}-{self.itr}.msgpack"):
+            with open(os.path.join(root, "models", name), "wb") as f:
+                f.write(blob)
+        # torch-layout export for reference interop
+        # (reference checkpoint schema: libs/worker_v2.py:675-696)
+        try:
+            import torch
+            from ..models.import_torch import params_to_state_dict
+            model_ckpt = {
+                "model": {k: torch.from_numpy(np.array(v)) for k, v in
+                          params_to_state_dict(
+                              jax.device_get(self.state.params)).items()},
+                "model_ema": {k: torch.from_numpy(np.array(v)) for k, v in
+                              params_to_state_dict(
+                                  jax.device_get(self.state.ema_params)).items()},
+            }
+            torch.save(model_ckpt,
+                       os.path.join(root, "models", f"{self.epoch}-{self.itr}.pth"))
+            torch.save(model_ckpt, os.path.join(root, "models", "last.pth"))
+        except ImportError:
+            pass
+
+    def load(self):
+        root = self.cfg.aux.logdir
+        with open(os.path.join(root, "models", "last.msgpack"), "rb") as f:
+            blob = serialization.from_bytes(
+                jax.device_get(self._state_blob()), f.read())
+        self.state = TrainState(
+            step=jnp.asarray(blob["step"]),
+            params=blob["params"], ema_params=blob["ema_params"],
+            opt_state=blob["opt_state"],
+            loss_norm=jnp.asarray(blob["loss_norm"]))
+        self.epoch, self.itr = int(blob["epoch"]), int(blob["itr"])
+        self.logger.write(
+            f"Loaded checkpoint [epoch {self.epoch} / itr {self.itr}]")
+
+    # -- loop ---------------------------------------------------------------
+
+    def run(self):
+        cfg = self.cfg
+        self.logger.write("Training started.")
+        while self.epoch < self.num_epochs:
+            self.loader.set_epoch(self.epoch)
+            start = time.time()
+            for samples in self.loader:
+                batch = batchify_train(samples, self.input_vid_len,
+                                       cfg.data.max_text_len,
+                                       self.max_num_text)
+                batch = shard_batch(batch, self.mesh)
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, metrics = self._step_fn(self.state, batch,
+                                                    step_rng)
+                self.itr += 1
+                for k in ("cls", "reg", "total"):
+                    self.loss_meters.setdefault(k, AverageMeter()).update(
+                        float(metrics[k]))
+                self.timer.update(time.time() - start)
+                start = time.time()
+                if self.itr == 1 or self.itr % self.log_interval == 0:
+                    self.log()
+                if cfg.aux.dryrun:
+                    break
+                if (cfg.aux.eval_by == "itr" and cfg.aux.eval_run > 0
+                        and self.itr % cfg.aux.eval_run == 0):
+                    self.evaluate(self.itr)
+            self.epoch += 1
+            if cfg.aux.eval_by == "epoch":
+                self.evaluate(self.epoch)
+            if cfg.aux.dryrun:
+                break
+        self.logger.write("Training completed.")
+
+    def evaluate(self, ct):
+        self.checkpoint()
+        if (self.evaluator is not None and self.cfg.aux.eval_run > 0
+                and ct % self.cfg.aux.eval_run == 0):
+            self.evaluator.run(ema_params=self.state.ema_params,
+                               tag=f"{self.epoch}_{self.itr}")
+            self.evaluator.reset()
+
+    def log(self):
+        t = len(str(self.num_itrs))
+        parts = [f"[{self.itr:0{t}d}/{self.num_itrs:0{t}d}]"]
+        for k, meter in self.loss_meters.items():
+            parts.append(f"{k} {meter.item():.3f} |")
+            meter.reset()
+        parts.append(time_str(self.timer.item()))
+        self.timer.reset()
+        self.logger.write(" ".join(parts))
