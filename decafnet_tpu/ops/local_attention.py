@@ -17,9 +17,10 @@ This module provides TPU-native implementations of exactly those numerics:
     Sequences are cut into chunks of size C; each chunk of queries attends
     to a (C + 2*(w//2))-wide key/value neighborhood with a static band mask.
     Everything is static-shaped and lowers to MXU matmuls that XLA fuses.
-  * ``pallas`` backend: the same math as a fused Pallas kernel. Keys /
-    values stay in HBM; each program DMAs its overlapping neighborhood into
-    VMEM, so the (C, C + 2*halo) score tile never round-trips to HBM.
+  * ``pallas`` backend: the same math as a fused Pallas kernel built from
+    prev/current/next chunk tiles (regular BlockSpecs, MXU-aligned (C, C)
+    score tiles that never round-trip to HBM). Wins for long sequences
+    (MAD-scale); 'auto' dispatches per shape.
   * ``reference``: a brute-force O(t^2) oracle used by the test suite.
 
 In fp32 the additive -1e4 key mask and a hard -inf mask are bitwise
@@ -147,10 +148,12 @@ def band_attention_pallas(q, k, v, kv_mask, window_size, chunk=DEFAULT_CHUNK,
                           interpret=False):
     """Fused Pallas TPU kernel computing the same banded attention.
 
-    Grid: (B, n_chunks). The query chunk arrives in VMEM through a regular
-    BlockSpec; the overlapping key/value/mask neighborhoods (which a tiled
-    BlockSpec cannot express) are DMA'd from HBM into VMEM scratch buffers.
-    Scores are computed per head in fp32 on the MXU and never leave VMEM.
+    Grid: (B, n_chunks). Overlapping neighborhoods are assembled from three
+    regular BlockSpec tiles of the key/value/mask tensors -- the previous,
+    current and next chunk (edge chunks clamp their neighbor index and are
+    invalidated arithmetically). This keeps every tile MXU-aligned and avoids
+    manual DMA (mid-dimension dynamic-slice DMAs crash this Mosaic
+    toolchain). The (c, 3c) banded score tile lives only in VMEM/registers.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -159,93 +162,125 @@ def band_attention_pallas(q, k, v, kv_mask, window_size, chunk=DEFAULT_CHUNK,
     halo = window_size // 2
     B, H, T, D = q.shape
     c = min(chunk, _next_multiple(T, 8))
+    assert c >= halo, "chunk must be at least the attention halo"
     Tp = _next_multiple(T, c)
     nc = Tp // c
-    nb = c + 2 * halo
 
     pad_t = Tp - T
-    q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
-    # halo-padded keys/values/mask stay in HBM; programs slice neighborhoods
-    k2 = jnp.pad(k, ((0, 0), (0, 0), (halo, pad_t + halo), (0, 0)))
-    v2 = jnp.pad(v, ((0, 0), (0, 0), (halo, pad_t + halo), (0, 0)))
-    m2 = jnp.pad(kv_mask, ((0, 0), (halo, pad_t + halo))).astype(jnp.float32)
+    if pad_t:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_t), (0, 0)))
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad_t)))
+    mask_f = kv_mask.astype(jnp.float32)[:, None, :]  # (B, 1, Tp)
+    # edge invalidation is baked into time-shifted mask arrays (NOT
+    # program_id arithmetic -- scalar pid broadcasts hang this Mosaic
+    # toolchain): block n of m_prev holds chunk (n-1)'s mask, zeros at n=0.
+    m_prev = jnp.pad(mask_f, ((0, 0), (0, 0), (c, 0)))[:, :, :Tp]
+    m_next = jnp.pad(mask_f, ((0, 0), (0, 0), (0, c)))[:, :, c:]
 
-    band = _band_mask(c, halo).astype(jnp.float32)  # (c, nb)
+    # per-segment band masks: query local i attends prev-chunk column j iff
+    # (j - c) - i in [-halo, halo], etc.
+    i = np.arange(c)[:, None]
+    j = np.arange(c)[None, :]
+    band_p = jnp.asarray((np.abs((j - c) - i) <= halo).astype(np.float32))
+    band_c = jnp.asarray((np.abs(j - i) <= halo).astype(np.float32))
+    band_n = jnp.asarray((np.abs((j + c) - i) <= halo).astype(np.float32))
 
-    def kernel(q_ref, k_hbm, v_hbm, m_hbm, band_ref, o_ref,
-               kb, vb, mb, sems):
-        b = pl.program_id(0)
-        n = pl.program_id(1)
-        start = n * c
+    def prev_ix(b, n):
+        return (b, 0, jnp.maximum(n - 1, 0), 0)
 
-        cp_k = pltpu.make_async_copy(
-            k_hbm.at[b, :, pl.ds(start, nb), :], kb, sems.at[0])
-        cp_v = pltpu.make_async_copy(
-            v_hbm.at[b, :, pl.ds(start, nb), :], vb, sems.at[1])
-        cp_m = pltpu.make_async_copy(
-            m_hbm.at[pl.ds(b, 1), pl.ds(start, nb)], mb, sems.at[2])
-        cp_k.start()
-        cp_v.start()
-        cp_m.start()
-        cp_k.wait()
-        cp_v.wait()
-        cp_m.wait()
+    def cur_ix(b, n):
+        return (b, 0, n, 0)
 
-        valid = band_ref[:] * mb[0][None, :]            # (c, nb)
+    def next_ix(b, n):
+        return (b, 0, jnp.minimum(n + 1, nc - 1), 0)
+
+    kv_spec = lambda ix: pl.BlockSpec((1, H, c, D), ix,
+                                      memory_space=pltpu.VMEM)
+    m_spec = pl.BlockSpec((1, 1, c), lambda b, n: (b, 0, n),
+                          memory_space=pltpu.VMEM)
+    band_spec = pl.BlockSpec((c, c), lambda b, n: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def kernel(q_ref, kp, kc, kn, vp, vc, vn, mp, mc, mn,
+               bp, bc, bn, o_ref):
         big_neg = jnp.float32(-1e30)
+        valid_p = bp[:] * mp[0, 0][None, :]               # (c, c)
+        valid_c = bc[:] * mc[0, 0][None, :]
+        valid_n = bn[:] * mn[0, 0][None, :]
         for h in range(H):
-            qh = q_ref[0, h].astype(jnp.float32)        # (c, D)
-            kh = kb[h].astype(jnp.float32)              # (nb, D)
-            vh = vb[h].astype(jnp.float32)
-            s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)     # (c, nb)
-            s = jnp.where(valid > 0, s, big_neg)
-            smax = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - smax) * valid
-            denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-37)
-            p = p / denom
-            o_ref[0, h] = jax.lax.dot_general(
-                p, vh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(o_ref.dtype)
+            qh = q_ref[0, h].astype(jnp.float32)          # (c, D)
+
+            def scores(k_ref, valid):
+                s = jax.lax.dot_general(
+                    qh, k_ref[0, h].astype(jnp.float32),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (c, c)
+                return jnp.where(valid > 0, s, big_neg)
+
+            s_p = scores(kp, valid_p)
+            s_c = scores(kc, valid_c)
+            s_n = scores(kn, valid_n)
+            smax = jnp.maximum(
+                jnp.max(s_p, axis=-1, keepdims=True),
+                jnp.maximum(jnp.max(s_c, axis=-1, keepdims=True),
+                            jnp.max(s_n, axis=-1, keepdims=True)))
+            p_p = jnp.exp(s_p - smax) * valid_p
+            p_c = jnp.exp(s_c - smax) * valid_c
+            p_n = jnp.exp(s_n - smax) * valid_n
+            denom = (jnp.sum(p_p, axis=-1, keepdims=True)
+                     + jnp.sum(p_c, axis=-1, keepdims=True)
+                     + jnp.sum(p_n, axis=-1, keepdims=True))
+            denom = jnp.maximum(denom, 1e-37)
+
+            def weighted(p, v_ref):
+                return jax.lax.dot_general(
+                    p, v_ref[0, h].astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            out_h = (weighted(p_p, vp) + weighted(p_c, vc)
+                     + weighted(p_n, vn)) / denom
+            o_ref[0, h] = out_h.astype(o_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
         grid=(B, nc),
         in_specs=[
-            pl.BlockSpec((1, H, c, D), lambda b, n: (b, 0, n, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((c, nb), lambda b, n: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H, c, D), cur_ix, memory_space=pltpu.VMEM),
+            kv_spec(prev_ix), kv_spec(cur_ix), kv_spec(next_ix),
+            kv_spec(prev_ix), kv_spec(cur_ix), kv_spec(next_ix),
+            m_spec, m_spec, m_spec,
+            band_spec, band_spec, band_spec,
         ],
-        out_specs=pl.BlockSpec((1, H, c, D), lambda b, n: (b, 0, n, 0),
+        out_specs=pl.BlockSpec((1, H, c, D), cur_ix,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((H, nb, D), q.dtype),
-            pltpu.VMEM((H, nb, D), q.dtype),
-            pltpu.VMEM((1, nb), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
         interpret=interpret,
-    )(q, k2, v2, m2, band)
+    )(q, k, k, k, v, v, v, m_prev, mask_f, m_next, band_p, band_c, band_n)
 
     out = out[:, :, :T]
     qmask = kv_mask[:, None, :T, None].astype(out.dtype)
     return out * qmask
 
 
-_BACKEND = "xla"
+_BACKEND = "auto"
+
+# measured on TPU v5e: the fused Pallas kernel overtakes the XLA
+# gather+einsum formulation for long single sequences (HBM-bandwidth bound);
+# XLA wins for short batched sequences where its fusion amortizes better.
+PALLAS_MIN_T = 8192
 
 
 def set_backend(name):
-    """Set the global banded-attention backend: 'xla' | 'pallas' | 'auto'."""
+    """Set the global banded-attention backend: 'xla' | 'pallas' | 'auto'.
+
+    'auto' picks per shape: the Pallas kernel for long sequences on TPU
+    (MAD-scale, T >= PALLAS_MIN_T), the XLA formulation otherwise."""
     global _BACKEND
     assert name in ("xla", "pallas", "auto")
-    _BACKEND = "xla" if name == "auto" else name
+    _BACKEND = name
 
 
 def get_backend():
@@ -256,6 +291,10 @@ def band_attention(q, k, v, kv_mask, window_size, chunk=DEFAULT_CHUNK,
                    backend=None):
     """Dispatch banded attention to the configured backend."""
     backend = backend or _BACKEND
+    if backend == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        backend = ("pallas" if on_tpu and q.shape[2] >= PALLAS_MIN_T
+                   else "xla")
     if backend == "pallas":
         return band_attention_pallas(q, k, v, kv_mask, window_size, chunk=chunk)
     return band_attention_xla(q, k, v, kv_mask, window_size, chunk=chunk)
