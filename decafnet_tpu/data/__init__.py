@@ -16,6 +16,7 @@ from .batching import (
 )
 from .loader import DataLoader
 from .synthetic import make_synthetic_dataset, apply_synthetic_cfg
+from .tokenizer import GloVeTokenizer, make_tokenizer, basic_english_tokenize
 
 __all__ = [
     "BaseDataset",
@@ -33,4 +34,7 @@ __all__ = [
     "DataLoader",
     "make_synthetic_dataset",
     "apply_synthetic_cfg",
+    "GloVeTokenizer",
+    "make_tokenizer",
+    "basic_english_tokenize",
 ]

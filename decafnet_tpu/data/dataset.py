@@ -81,6 +81,8 @@ class BaseDataset:
         self.vid_feat_dir = vid_dirs
         self.text_feat_dir = data.get("text_feat_dir")
         self.ext_score_dir = data.get("ext_score_dir")
+        from .tokenizer import make_tokenizer
+        self.tokenizer = make_tokenizer(data.get("tokenizer"))
 
         self.clip_size = data["clip_size"]
         self.downsample_rate = int(data.get("downsample_rate", 1) or 1)
@@ -188,8 +190,11 @@ class BaseDataset:
     def _load_text_feats(self, text_id, sentence=None):
         if text_id in self.text_feat_cache:
             return self.text_feat_cache[text_id]
-        path = os.path.join(self.text_feat_dir, str(text_id) + ".npy")
-        feats = np.load(path).astype(np.float32).T  # (c, t)
+        if self.tokenizer is not None and self.text_feat_dir is None:
+            feats = self.tokenizer(sentence)
+        else:
+            path = os.path.join(self.text_feat_dir, str(text_id) + ".npy")
+            feats = np.load(path).astype(np.float32).T  # (c, t)
         if self.is_training:
             feats = feats[:, :self.max_text_len]
         if self.normalize_text:

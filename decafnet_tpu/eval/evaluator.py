@@ -296,6 +296,10 @@ class Evaluator:
             log_str += "; ".join(f"{k}: {v:.3f}"
                                  for k, v in loss_dict.items())
         self.logger.write(log_str)
+        phase_summary = " | ".join(
+            f"{k}: {sum(v):.2f}s (n={len(v)})"
+            for k, v in self.time_dict.items())
+        self.logger.write(f"phase wall-times: {phase_summary}")
         self.logger.write(
             f"Evaluation completed in {time_str(time.time() - start)}.")
         return metrics

@@ -47,9 +47,16 @@ def _delegated_in_dim(model_cfg):
 
 
 class DeCafNetIterative(nn.Module):
-    """Live DeCafNet model (reference: libs/modeling/model.py:397-650)."""
+    """Live DeCafNet model (reference: libs/modeling/model.py:397-650).
+
+    ``compute_dtype`` = 'bfloat16' casts activations at entry for MXU speed;
+    parameters stay fp32 and normalization/softmax statistics are computed
+    in fp32 regardless (ops/masked.py, ops/local_attention.py). Heads emit
+    logits in the compute dtype; losses/decoding upcast to fp32.
+    """
     cfg: Dict[str, Any]          # the `model` config subtree
     second_fusion: bool = False  # reference constructs with False (worker_v2.py:193)
+    compute_dtype: Any = None
 
     def setup(self):
         m = self.cfg
@@ -112,11 +119,16 @@ class DeCafNetIterative(nn.Module):
     def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
                  text_masks, deterministic=True):
         m = self.cfg
+        # delegation (saliency + binary weights) always in fp32
         vid, vid_masks, _ = delegate(
             vid, shallow_vid, vid_masks, text_cls,
             sn=m["sn"], ratio=m["sratio"], normalize=m.get("norm", False),
             msf=m.get("msf", False), scat=m.get("scat", False),
             sfonly=m.get("sfonly", False) and deterministic)
+
+        if self.compute_dtype is not None:
+            vid = vid.astype(self.compute_dtype)
+            text = text.astype(self.compute_dtype)
 
         vid = self.channel_drop(vid, deterministic=deterministic)
         vid, vm = self.vid_map(vid, vid_masks[:, None, :])
@@ -136,6 +148,7 @@ class DeCafNetEarlyFusion(nn.Module):
     (reference: libs/modeling/model.py:163-373)."""
     cfg: Dict[str, Any]
     second_fusion: bool = True
+    compute_dtype: Any = None
 
     def setup(self):
         m = self.cfg
@@ -157,6 +170,9 @@ class DeCafNetEarlyFusion(nn.Module):
             sn=m["sn"], ratio=m["sratio"], normalize=m.get("norm", False),
             msf=m.get("msf", False), scat=m.get("scat", False),
             sfonly=m.get("sfonly", False) and deterministic)
+        if self.compute_dtype is not None:
+            vid = vid.astype(self.compute_dtype)
+            text = text.astype(self.compute_dtype)
         vid = self.channel_drop(vid, deterministic=deterministic)
         vid, vm = self.vid_map(vid, vid_masks[:, None, :])
         text_enc, text_mask_enc = self.text_net(
@@ -177,6 +193,7 @@ class DeCafNetLateFusion(nn.Module):
     """Late-fusion variant: delegation -> FPN -> fusion on every level
     (reference: libs/modeling/model.py:30-161, the 'default' architecture)."""
     cfg: Dict[str, Any]
+    compute_dtype: Any = None
 
     def setup(self):
         m = self.cfg
@@ -196,6 +213,9 @@ class DeCafNetLateFusion(nn.Module):
             vid, shallow_vid, vid_masks, text_cls,
             sn=m["sn"], ratio=m["sratio"], normalize=m.get("norm", False),
             msf=m.get("msf", False), scat=m.get("scat", False))
+        if self.compute_dtype is not None:
+            vid = vid.astype(self.compute_dtype)
+            text = text.astype(self.compute_dtype)
         vid = self.channel_drop(vid, deterministic=deterministic)
         fpn, fpn_masks = self.vid_net(vid, vid_masks[:, None, :],
                                       deterministic=deterministic)
@@ -211,17 +231,26 @@ class DeCafNetLateFusion(nn.Module):
 def make_model(cfg):
     """Model factory (reference: libs/worker_v2.py:182-211 -- only 'iter' is
     constructible in the released path; the variants are kept for parity
-    with the documented architectures)."""
+    with the documented architectures). ``cfg.tpu.compute_dtype: bfloat16``
+    enables the mixed-precision fast path (fp32 params / statistics)."""
     name = cfg.model["name"]
     model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
+    dtype = None
+    tpu_cfg = cfg.get("tpu") if hasattr(cfg, "get") else None
+    if tpu_cfg and tpu_cfg.get("compute_dtype") in ("bfloat16", "bf16"):
+        dtype = jnp.bfloat16
     if name == "iter":
-        return DeCafNetIterative(model_cfg, second_fusion=False)
+        return DeCafNetIterative(model_cfg, second_fusion=False,
+                                 compute_dtype=dtype)
     if name == "iter2":
-        return DeCafNetIterative(model_cfg, second_fusion=True)
+        return DeCafNetIterative(model_cfg, second_fusion=True,
+                                 compute_dtype=dtype)
     if name == "early":
-        return DeCafNetEarlyFusion(model_cfg, second_fusion=False)
+        return DeCafNetEarlyFusion(model_cfg, second_fusion=False,
+                                   compute_dtype=dtype)
     if name == "early2":
-        return DeCafNetEarlyFusion(model_cfg, second_fusion=True)
+        return DeCafNetEarlyFusion(model_cfg, second_fusion=True,
+                                   compute_dtype=dtype)
     if name == "default":
-        return DeCafNetLateFusion(model_cfg)
+        return DeCafNetLateFusion(model_cfg, compute_dtype=dtype)
     raise ValueError(f"unknown model: {name}")

@@ -118,11 +118,13 @@ def channel_layer_norm(x, weight=None, bias=None, eps=1e-5):
     (reference: libs/modeling/blocks.py:109-131). ``weight``/``bias`` have
     shape (c, 1) or (c,).
     """
+    in_dtype = x.dtype
+    x = x.astype(jnp.float32)  # normalization statistics always in fp32
     x = x - jnp.mean(x, axis=-2, keepdims=True)
     sigma = jnp.mean(jnp.square(x), axis=-2, keepdims=True)
     x = x * jax.lax.rsqrt(sigma + eps)
     if weight is not None:
         w = weight.reshape(weight.shape[0], 1) if weight.ndim == 1 else weight
         b = bias.reshape(bias.shape[0], 1) if bias.ndim == 1 else bias
-        x = x * w + b
-    return x
+        x = x * w.astype(jnp.float32) + b.astype(jnp.float32)
+    return x.astype(in_dtype)

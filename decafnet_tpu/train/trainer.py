@@ -159,6 +159,18 @@ class Trainer:
     def __init__(self, cfg, mesh=None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.tpu.mesh_shape)
+        # data parallelism requires batch_size % mesh size == 0; shrink the
+        # mesh to the largest divisor rather than failing
+        n_dev = self.mesh.devices.size
+        if cfg.train.batch_size % n_dev != 0:
+            keep = 1
+            for d in range(1, min(n_dev, cfg.train.batch_size) + 1):
+                if cfg.train.batch_size % d == 0:
+                    keep = d
+            import jax as _jax
+            self.mesh = make_mesh(devices=list(self.mesh.devices.flat)[:keep])
+            print(f"[trainer] batch {cfg.train.batch_size} not divisible by "
+                  f"{n_dev} devices; using a {keep}-device data mesh")
         self.rng = jax.random.PRNGKey(cfg.seed)
         np_rng = np.random.RandomState(cfg.seed)
 
@@ -227,8 +239,14 @@ class Trainer:
         self.timer = AverageMeter()
         self.log_interval = cfg.aux.log_interval
 
-        if os.path.exists(os.path.join(root, "models", "last.msgpack")):
+        # auto-resume when both checkpoint halves exist
+        # (reference: train.py:66-69)
+        if (cfg.aux.get("resume", True)
+                and os.path.exists(os.path.join(root, "models", "last.msgpack"))
+                and os.path.exists(os.path.join(root, "states", "last.msgpack"))):
             self.load()
+        elif cfg.aux.get("model_resume"):
+            self.load_model_only(cfg.aux.model_resume)
 
         self.evaluator = None
         if cfg.aux.eval_run and cfg.aux.eval_run > 0:
@@ -236,11 +254,17 @@ class Trainer:
             self.evaluator = Evaluator(cfg, mesh=self.mesh, train_time=True)
 
     # -- checkpointing ------------------------------------------------------
+    # two-directory scheme like the reference (libs/worker_v2.py:675-696):
+    # models/ holds {params, ema_params}; states/ holds the training state.
 
-    def _state_blob(self):
+    def _model_blob(self):
         return {
             "params": self.state.params,
             "ema_params": self.state.ema_params,
+        }
+
+    def _train_state_blob(self):
+        return {
             "opt_state": self.state.opt_state,
             "loss_norm": self.state.loss_norm,
             "step": self.state.step,
@@ -250,10 +274,14 @@ class Trainer:
 
     def checkpoint(self):
         root = self.cfg.aux.logdir
-        blob = serialization.to_bytes(jax.device_get(self._state_blob()))
+        blob = serialization.to_bytes(jax.device_get(self._model_blob()))
         for name in ("last.msgpack", f"{self.epoch}-{self.itr}.msgpack"):
             with open(os.path.join(root, "models", name), "wb") as f:
                 f.write(blob)
+        state_blob = serialization.to_bytes(
+            jax.device_get(self._train_state_blob()))
+        with open(os.path.join(root, "states", "last.msgpack"), "wb") as f:
+            f.write(state_blob)
         # torch-layout export for reference interop
         # (reference checkpoint schema: libs/worker_v2.py:675-696)
         try:
@@ -273,19 +301,33 @@ class Trainer:
         except ImportError:
             pass
 
-    def load(self):
+    def load(self, ckpt="last"):
+        """Resume model weights + EMA + optimizer + schedule position
+        (reference: libs/worker_v2.py:658-670)."""
         root = self.cfg.aux.logdir
-        with open(os.path.join(root, "models", "last.msgpack"), "rb") as f:
-            blob = serialization.from_bytes(
-                jax.device_get(self._state_blob()), f.read())
+        with open(os.path.join(root, "models", f"{ckpt}.msgpack"), "rb") as f:
+            m = serialization.from_bytes(
+                jax.device_get(self._model_blob()), f.read())
+        with open(os.path.join(root, "states", "last.msgpack"), "rb") as f:
+            s = serialization.from_bytes(
+                jax.device_get(self._train_state_blob()), f.read())
         self.state = TrainState(
-            step=jnp.asarray(blob["step"]),
-            params=blob["params"], ema_params=blob["ema_params"],
-            opt_state=blob["opt_state"],
-            loss_norm=jnp.asarray(blob["loss_norm"]))
-        self.epoch, self.itr = int(blob["epoch"]), int(blob["itr"])
+            step=jnp.asarray(s["step"]),
+            params=m["params"], ema_params=m["ema_params"],
+            opt_state=s["opt_state"],
+            loss_norm=jnp.asarray(s["loss_norm"]))
+        self.epoch, self.itr = int(s["epoch"]), int(s["itr"])
         self.logger.write(
             f"Loaded checkpoint [epoch {self.epoch} / itr {self.itr}]")
+
+    def load_model_only(self, path):
+        """Weights-only warm start (reference aux.model_resume,
+        libs/core/opt.py:22)."""
+        with open(path, "rb") as f:
+            m = serialization.from_bytes(
+                jax.device_get(self._model_blob()), f.read())
+        self.state = self.state.replace(params=m["params"],
+                                        ema_params=m["ema_params"])
 
     # -- loop ---------------------------------------------------------------
 
@@ -334,9 +376,18 @@ class Trainer:
     def log(self):
         t = len(str(self.num_itrs))
         parts = [f"[{self.itr:0{t}d}/{self.num_itrs:0{t}d}]"]
+        record = {"itr": self.itr, "epoch": self.epoch}
         for k, meter in self.loss_meters.items():
             parts.append(f"{k} {meter.item():.3f} |")
+            record[f"train/{k}"] = meter.item()
             meter.reset()
+        record["itr_time"] = self.timer.item()
         parts.append(time_str(self.timer.item()))
         self.timer.reset()
         self.logger.write(" ".join(parts))
+        # structured metrics stream (replaces the reference's wandb logging,
+        # libs/helper/utils.py:100-141; env-gated wandb can tail this file)
+        import json
+        with open(os.path.join(self.cfg.aux.logdir, "metrics.jsonl"),
+                  "a") as f:
+            f.write(json.dumps(record) + "\n")

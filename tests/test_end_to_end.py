@@ -96,6 +96,31 @@ def test_eval_device_vs_reference_exact(synth_paths, tmp_path):
     assert np.all(metrics_dev >= 0) and np.all(metrics_dev <= 1)
 
 
+def test_resume_from_checkpoint(synth_paths, tmp_path):
+    """Auto-resume restores epoch/itr/loss_norm/opt_state
+    (reference: train.py:66-69, libs/worker_v2.py:658-670)."""
+    from decafnet_tpu.train import Trainer
+
+    logdir = str(tmp_path / "exp_resume")
+    cfg = tiny_cfg(synth_paths, logdir)
+    trainer = Trainer(cfg)
+    trainer.run()
+    trainer.epoch = 1  # pretend the epoch completed (dryrun breaks early)
+    trainer.checkpoint()
+    itr0 = trainer.itr
+    loss_norm0 = float(trainer.state.loss_norm)
+
+    trainer2 = Trainer(tiny_cfg(synth_paths, logdir))
+    assert trainer2.epoch == 1
+    assert trainer2.itr == itr0
+    assert float(trainer2.state.loss_norm) == loss_norm0
+    # optimizer state round-tripped (second moments are non-zero)
+    import jax
+    l2 = sum(float((np.asarray(x) ** 2).sum())
+             for x in jax.tree_util.tree_leaves(trainer2.state.opt_state))
+    assert l2 > 0
+
+
 def test_train_checkpoint_then_eval_cli_layout(synth_paths, tmp_path):
     """The torch-layout .pth written by the Trainer round-trips through the
     Evaluator's checkpoint loader (release-checkpoint code path)."""

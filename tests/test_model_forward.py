@@ -78,6 +78,30 @@ def test_forward_train_mode_with_dropout_rngs():
     assert np.all(np.isfinite(np.asarray(outs[1][0])))
 
 
+def test_bfloat16_compute_mode():
+    """bf16 activations with fp32 params/statistics: finite outputs close to
+    the fp32 path."""
+    import jax.numpy as jnp_
+
+    rng = np.random.RandomState(5)
+    cfg = tiny_cfg("iter")
+    cfg.tpu.compute_dtype = "bfloat16"
+    model_bf16 = make_model(cfg)
+    cfg32 = tiny_cfg("iter")
+    model_f32 = make_model(cfg32)
+
+    inputs = make_inputs(rng)
+    params = model_f32.init(jax.random.PRNGKey(0), *inputs,
+                            deterministic=True)
+    out32 = model_f32.apply(params, *inputs, deterministic=True)
+    out16 = model_bf16.apply(params, *inputs, deterministic=True)
+    for lvl32, lvl16 in zip(out32[1], out16[1]):   # logits2 per level
+        a = np.asarray(lvl32, np.float32)
+        b = np.asarray(lvl16, np.float32)
+        assert np.all(np.isfinite(b))
+        assert np.abs(a - b).mean() < 0.15, "bf16 drifted too far from fp32"
+
+
 def test_points_generator():
     pts = generate_points(256, 7, regression_range=4, sigma=0.5)
     assert len(pts) == 7
