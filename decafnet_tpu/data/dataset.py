@@ -458,13 +458,11 @@ class VideoCentricCLIPDataset(VideoCentricDataset):
         return feats
 
 
-class VideoCentricCLIPTwoFeatDataset(VideoCentricCLIPDataset):
-    """The live dataset: CLIP token features + a second (sidekick) feature
-    stream with its own loader and stride
-    (reference: libs/data/dataset.py:804-994)."""
+class _TwoFeatMixin:
+    """Adds the sidekick feature stream with its own loader and stride
+    (reference: libs/data/dataset.py:840-891)."""
 
-    def __init__(self, opt, split, is_training, num_epochs=1, rng=None):
-        super().__init__(opt, split, is_training, num_epochs, rng)
+    def _init_shallow(self, opt):
         dirs = opt["shallow_vid_feat_dir"]
         if not isinstance(dirs, (list, tuple)):
             dirs = (dirs,)
@@ -481,11 +479,29 @@ class VideoCentricCLIPTwoFeatDataset(VideoCentricCLIPDataset):
         return vid, shallow
 
 
+class VideoCentricCLIPTwoFeatDataset(_TwoFeatMixin, VideoCentricCLIPDataset):
+    """The live dataset: CLIP token features + a second (sidekick) feature
+    stream (reference: libs/data/dataset.py:804-994)."""
+
+    def __init__(self, opt, split, is_training, num_epochs=1, rng=None):
+        super().__init__(opt, split, is_training, num_epochs, rng)
+        self._init_shallow(opt)
+
+
+class VideoCentricTwoFeatDataset(_TwoFeatMixin, VideoCentricDataset):
+    """Per-sentence npy token features + two video streams
+    (reference: libs/data/dataset.py:996-1183)."""
+
+    def __init__(self, opt, split, is_training, num_epochs=1, rng=None):
+        super().__init__(opt, split, is_training, num_epochs, rng)
+        self._init_shallow(opt)
+
+
 DATASETS = {
     "video_centric": VideoCentricDataset,
     "video_centric_clip": VideoCentricCLIPDataset,
     "video_centric_clip_twofeat": VideoCentricCLIPTwoFeatDataset,
-    "video_centric_twofeat": VideoCentricCLIPTwoFeatDataset,
+    "video_centric_twofeat": VideoCentricTwoFeatDataset,
 }
 
 

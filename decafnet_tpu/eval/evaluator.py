@@ -75,10 +75,12 @@ class Evaluator:
         self.nms_cfg = dict(cfg.nms)
 
         root = cfg.aux.logdir
-        os.makedirs(root, exist_ok=True)
         tag = cfg.aux.get("ckpt", "eval")
-        self.logger = (Logger(os.path.join(root, f"eval_{tag}.txt"))
-                       if not train_time else Logger())
+        if root and not train_time:
+            os.makedirs(root, exist_ok=True)
+            self.logger = Logger(os.path.join(root, f"eval_{tag}.txt"))
+        else:
+            self.logger = Logger()
         self.time_dict = defaultdict(list)
         self._decode_cache = {}
 
