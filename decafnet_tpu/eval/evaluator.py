@@ -158,19 +158,23 @@ class Evaluator:
             offs = jnp.concatenate(offsets, axis=1)            # (Q, P, 2)
             pmask = jnp.concatenate(masks, axis=1)             # (Q, P)
 
+            # gather-free top-k: TPU index gathers cost more than the whole
+            # network forward, so the top-k truncation is applied as a
+            # per-query score threshold (the k-th largest value) and
+            # segments are assembled densely for ALL points -- identical
+            # candidate set, no gathers.
             valid = (scores > pre_thresh) & pmask
             ranked = jnp.where(valid, scores, -1.0)
-            top_scores, top_idx = jax.lax.top_k(ranked, topk)  # (Q, topk)
-            top_valid = top_scores > pre_thresh
-            pts = points[top_idx]                              # (Q, topk, 4)
-            off = jnp.take_along_axis(offs, top_idx[..., None], axis=1)
+            kth = jax.lax.top_k(ranked, topk)[0][:, -1:]       # (Q, 1)
+            valid = valid & (scores >= kth)
 
-            ctr = pts[..., 0]
-            left = ctr - off[..., 0] * pts[..., 3]
-            right = ctr + off[..., 1] * pts[..., 3]
-            segs = jnp.stack([left, right], axis=-1)           # (Q, topk, 2)
-            top_valid = top_valid & ((right - left) > seg_thresh)
-            top_scores = jnp.where(top_valid, top_scores, 0.0)
+            ctr = points[None, :, 0]
+            stride = points[None, :, 3]
+            left = ctr - offs[..., 0] * stride
+            right = ctr + offs[..., 1] * stride
+            segs = jnp.stack([left, right], axis=-1)           # (Q, P, 2)
+            top_valid = valid & ((right - left) > seg_thresh)
+            top_scores = jnp.where(top_valid, scores, 0.0)
 
             # per-query eval-loss diagnostics
             # (reference: libs/worker_v2.py:1029-1061)
