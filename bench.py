@@ -101,20 +101,20 @@ def make_decode_fn(cfg, Q, T):
             deterministic=True)
         scores = jnp.concatenate(
             [jax.nn.sigmoid(l) * m for l, m in zip(logits2, masks)], axis=1)
-        offs = jnp.concatenate(offsets, axis=1)
-        # gather-free decode (index gathers dominate TPU eval time)
+        offs = jnp.concatenate(offsets, axis=2)       # (Q, 2, P)
+        # gather-free, layout-friendly decode: no index gathers, no
+        # trailing-dim-2 arrays (both dominate TPU eval time otherwise)
         valid = scores > cfg.eval.pre_nms_thresh
         ranked = jnp.where(valid, scores, -1.0)
         kth = jax.lax.top_k(ranked, topk)[0][:, -1:]
         valid = valid & (scores >= kth)
         ctr = points[None, :, 0]
         stride = points[None, :, 3]
-        left = ctr - offs[..., 0] * stride
-        right = ctr + offs[..., 1] * stride
-        segs = jnp.stack([left, right], axis=-1)
+        left = ctr - offs[:, 0, :] * stride
+        right = ctr + offs[:, 1, :] * stride
         valid = valid & ((right - left) > cfg.eval.seg_len_thresh)
         return batched_nms_device(
-            segs, jnp.where(valid, scores, 0.0), valid,
+            left, right, jnp.where(valid, scores, 0.0), valid,
             nms["max_num_segs"], mode=nms["mode"],
             iou_thresh=nms["iou_thresh"], min_score=nms["min_score"],
             sigma=nms["sigma"], voting_thresh=nms["voting_thresh"])

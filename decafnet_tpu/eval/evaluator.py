@@ -155,7 +155,7 @@ class Evaluator:
                 s = s * masks[lvl].astype(s.dtype)
                 scores_list.append(s)
             scores = jnp.concatenate(scores_list, axis=1)      # (Q, P)
-            offs = jnp.concatenate(offsets, axis=1)            # (Q, P, 2)
+            offs = jnp.concatenate(offsets, axis=2)            # (Q, 2, P)
             pmask = jnp.concatenate(masks, axis=1)             # (Q, P)
 
             # gather-free top-k: TPU index gathers cost more than the whole
@@ -170,9 +170,8 @@ class Evaluator:
 
             ctr = points[None, :, 0]
             stride = points[None, :, 3]
-            left = ctr - offs[..., 0] * stride
-            right = ctr + offs[..., 1] * stride
-            segs = jnp.stack([left, right], axis=-1)           # (Q, P, 2)
+            left = ctr - offs[:, 0, :] * stride                # (Q, P)
+            right = ctr + offs[:, 1, :] * stride
             top_valid = valid & ((right - left) > seg_thresh)
             top_scores = jnp.where(top_valid, scores, 0.0)
 
@@ -192,12 +191,12 @@ class Evaluator:
 
             if run_nms_on_device:
                 out_segs, out_scores, counts = batched_nms_device(
-                    segs, top_scores, top_valid, k_out,
+                    left, right, top_scores, top_valid, k_out,
                     mode=nms_cfg["mode"], iou_thresh=nms_cfg["iou_thresh"],
                     min_score=nms_cfg["min_score"], sigma=nms_cfg["sigma"],
                     voting_thresh=nms_cfg["voting_thresh"])
                 return out_segs, out_scores, counts, cls_l, reg_l
-            return segs, top_scores, top_valid, cls_l, reg_l
+            return left, right, top_scores, top_valid, cls_l, reg_l
 
         self._decode_cache[key] = decode
         return decode
@@ -240,11 +239,13 @@ class Evaluator:
 
             t_nms = time.perf_counter()
             if self.reference_exact:
-                segs_all, scores_all, valid_all, cls_l, reg_l = out
+                left_all, right_all, scores_all, valid_all, cls_l, reg_l = out
                 for qi in range(n_q):
                     v = valid_all[qi]
+                    segs_np = np.stack(
+                        [left_all[qi][v], right_all[qi][v]], axis=-1)
                     segs, scores = batched_nms_host(
-                        segs_all[qi][v], scores_all[qi][v],
+                        segs_np, scores_all[qi][v],
                         iou_thresh=self.nms_cfg["iou_thresh"],
                         min_score=self.nms_cfg["min_score"],
                         max_num_segs=self.nms_cfg["max_num_segs"],

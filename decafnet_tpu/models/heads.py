@@ -80,7 +80,13 @@ class ClsHead(nn.Module):
 
 class RegHead(nn.Module):
     """Same trunk emitting 2 offsets through a per-level learnable Scale and
-    a ReLU (reference: libs/modeling/head.py:67-108)."""
+    a ReLU (reference: libs/modeling/head.py:67-108).
+
+    NOTE: offsets are returned CHANNEL-FIRST (bs, 2, p), not the reference's
+    (bs, p, 2) -- a trailing dim of 2 is a pathological TPU layout (the minor
+    dimension pads to 128 lanes), and keeping p minor makes the downstream
+    decode/losses free. Consumers index [:, 0] / [:, 1].
+    """
     embd_dim: int
     num_fpn_levels: int
     n_layers: int = 2
@@ -102,7 +108,7 @@ class RegHead(nn.Module):
                 x = jax.nn.relu(norm(x))
             offsets, _ = self.reg_head(x, mask)
             offsets = jax.nn.relu(self.scales[i](offsets))   # (bs, 2, p)
-            out_offsets += (jnp.swapaxes(offsets, 1, 2),)    # (bs, p, 2)
+            out_offsets += (offsets,)
             out_masks += (mask[:, 0, :],)
         return out_offsets, out_masks
 

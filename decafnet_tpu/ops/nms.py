@@ -102,25 +102,27 @@ def softnms_host(segs, scores, iou_thresh, sigma, min_score, method):
 # ---------------------------------------------------------------------------
 
 
-def _pairwise_iou_1d(seg, segs):
-    """IoU of one (2,) segment against (N, 2) segments with the reference's
-    +1e-6 area epsilon (reference: libs/nms/src/nms_cpu.cpp:31,89)."""
-    area_a = seg[1] - seg[0] + 1e-6
-    areas = segs[:, 1] - segs[:, 0] + 1e-6
-    xx1 = jnp.maximum(seg[0], segs[:, 0])
-    xx2 = jnp.minimum(seg[1], segs[:, 1])
+def _pairwise_iou_1d(a1, a2, x1, x2):
+    """IoU of one (scalar a1, a2) segment against (N,) x1/x2 segments with
+    the reference's +1e-6 area epsilon (reference: libs/nms/src/nms_cpu.cpp:
+    31,89). Segments are carried as separate start/end vectors -- a trailing
+    dim of 2 is a pathological TPU layout."""
+    area_a = a2 - a1 + 1e-6
+    areas = x2 - x1 + 1e-6
+    xx1 = jnp.maximum(a1, x1)
+    xx2 = jnp.minimum(a2, x2)
     inter = jnp.maximum(0.0, xx2 - xx1)
     return inter / (area_a + areas - inter)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "method"))
-def soft_nms_topk(segs, scores, valid, k, iou_thresh=0.1, sigma=0.9,
+def soft_nms_topk(x1, x2, scores, valid, k, iou_thresh=0.1, sigma=0.9,
                   min_score=0.001, method=2):
     """Top-k SoftNMS on device.
 
     Args:
-      segs: (N, 2) float32, padded.
+      x1, x2: (N,) float32 segment starts/ends, padded.
       scores: (N,) float32; padding rows must have score 0 / valid False.
       valid: (N,) bool.
       k: number of detections to emit (static).
@@ -130,7 +132,8 @@ def soft_nms_topk(segs, scores, valid, k, iou_thresh=0.1, sigma=0.9,
         zero-filled past the surviving count.
       count: int32 number of valid rows (<= k).
     """
-    segs = segs.astype(jnp.float32)
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
     neg = jnp.float32(-jnp.inf)
     sc0 = jnp.where(valid, scores.astype(jnp.float32), neg)
 
@@ -141,19 +144,19 @@ def soft_nms_topk(segs, scores, valid, k, iou_thresh=0.1, sigma=0.9,
         best = cur[m]
         has = best > neg
         det_row = jnp.where(has,
-                            jnp.stack([segs[m, 0], segs[m, 1], best]),
+                            jnp.stack([x1[m], x2[m], best]),
                             jnp.zeros((3,)))
         dets = dets.at[i].set(det_row)
         count = count + has.astype(jnp.int32)
 
-        iou = _pairwise_iou_1d(segs[m], segs)
+        iou = _pairwise_iou_1d(x1[m], x2[m], x1, x2)
         if method == 0:
             w = jnp.where(iou >= iou_thresh, 0.0, 1.0)
         elif method == 1:
             w = jnp.where(iou >= iou_thresh, 1.0 - iou, 1.0)
         else:
             w = jnp.exp(-(iou * iou) / sigma)
-        others = active & (jnp.arange(segs.shape[0]) != m)
+        others = active & (jnp.arange(x1.shape[0]) != m)
         sc = jnp.where(others, sc * w, sc)
         active = others & (sc >= min_score) & has
         return sc, active, dets, count
@@ -165,9 +168,10 @@ def soft_nms_topk(segs, scores, valid, k, iou_thresh=0.1, sigma=0.9,
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def hard_nms_topk(segs, scores, valid, k, iou_thresh=0.1):
+def hard_nms_topk(x1, x2, scores, valid, k, iou_thresh=0.1):
     """Top-k greedy hard NMS on device; same contract as soft_nms_topk."""
-    segs = segs.astype(jnp.float32)
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
     neg = jnp.float32(-jnp.inf)
     sc0 = jnp.where(valid, scores.astype(jnp.float32), neg)
 
@@ -178,12 +182,12 @@ def hard_nms_topk(segs, scores, valid, k, iou_thresh=0.1):
         has = best > neg
         det_row = jnp.where(
             has,
-            jnp.stack([segs[m, 0], segs[m, 1], best]),
+            jnp.stack([x1[m], x2[m], best]),
             jnp.zeros((3,)))
         dets = dets.at[i].set(det_row)
         count = count + has.astype(jnp.int32)
-        iou = _pairwise_iou_1d(segs[m], segs)
-        suppress = (iou >= iou_thresh) | (jnp.arange(segs.shape[0]) == m)
+        iou = _pairwise_iou_1d(x1[m], x2[m], x1, x2)
+        suppress = (iou >= iou_thresh) | (jnp.arange(x1.shape[0]) == m)
         sc = jnp.where(suppress, neg, sc)
         return sc, dets, count
 
@@ -192,62 +196,76 @@ def hard_nms_topk(segs, scores, valid, k, iou_thresh=0.1):
     return dets, count
 
 
-def segment_voting(nms_segs, all_segs, all_scores, iou_thresh, all_valid=None):
+def segment_voting_xy(n1, n2, a1, a2, all_scores, iou_thresh,
+                      all_valid=None):
     """Refine segments by score-weighted averaging of overlapping pre-NMS
-    segments (reference: libs/nms/nms.py:64-103). Works on padded inputs when
-    ``all_valid`` is given; jit/vmap friendly."""
-    left = jnp.maximum(nms_segs[:, None, 0], all_segs[None, :, 0])
-    right = jnp.minimum(nms_segs[:, None, 1], all_segs[None, :, 1])
+    segments (reference: libs/nms/nms.py:64-103), on separate start/end
+    vectors: n1/n2 (K,) kept segments, a1/a2 (N,) candidates. Returns
+    (voted_x1 (K,), voted_x2 (K,))."""
+    left = jnp.maximum(n1[:, None], a1[None, :])
+    right = jnp.minimum(n2[:, None], a2[None, :])
     overlap = jnp.clip(right - left, 0.0)
-    len_a = nms_segs[:, 1] - nms_segs[:, 0]
-    len_b = all_segs[:, 1] - all_segs[:, 0]
-    union = len_a[:, None] + len_b[None, :] - overlap
+    union = (n2 - n1)[:, None] + (a2 - a1)[None, :] - overlap
     iou = overlap / jnp.maximum(union, 1e-12)
     weights = (iou >= iou_thresh).astype(jnp.float32) * all_scores[None, :]
     if all_valid is not None:
         weights = weights * all_valid[None, :].astype(jnp.float32)
     denom = jnp.sum(weights, axis=1, keepdims=True)
     weights = weights / jnp.maximum(denom, 1e-12)
-    return weights @ all_segs
+    return weights @ a1, weights @ a2
+
+
+def segment_voting(nms_segs, all_segs, all_scores, iou_thresh,
+                   all_valid=None):
+    """(K, 2) / (N, 2) convenience wrapper over segment_voting_xy."""
+    v1, v2 = segment_voting_xy(
+        nms_segs[:, 0], nms_segs[:, 1], all_segs[:, 0], all_segs[:, 1],
+        all_scores, iou_thresh, all_valid=all_valid)
+    return jnp.stack([v1, v2], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "mode", "method", "iou_thresh", "min_score", "sigma",
     "voting_thresh"))
-def batched_nms_device(segs, scores, valid, k, mode="soft_nms",
+def batched_nms_device(x1, x2, scores, valid, k, mode="soft_nms",
                        iou_thresh=0.1, min_score=0.001, sigma=0.9,
                        voting_thresh=0.75, method=2):
     """Full decode-side NMS for a batch of queries on device.
 
     Args:
-      segs: (Q, N, 2); scores: (Q, N); valid: (Q, N) bool.
+      x1, x2: (Q, N) segment starts/ends; scores: (Q, N); valid: (Q, N).
       k: max_num_segs.
 
     Returns:
       (Q, k, 2) refined segments, (Q, k) scores, (Q,) counts.
     """
-    def per_query(s, sc, va):
+    def per_query(s1, s2, sc, va):
         if mode == "soft_nms":
             dets, count = soft_nms_topk(
-                s, sc, va, k, iou_thresh=iou_thresh, sigma=sigma,
+                s1, s2, sc, va, k, iou_thresh=iou_thresh, sigma=sigma,
                 min_score=min_score, method=method)
         elif mode == "nms":
             # the reference's hard-NMS path pre-filters by min_score
             # (libs/nms/nms.py:13-16)
             va2 = va & (sc > min_score) if min_score > 0 else va
-            dets, count = hard_nms_topk(s, sc, va2, k, iou_thresh=iou_thresh)
+            dets, count = hard_nms_topk(s1, s2, sc, va2, k,
+                                        iou_thresh=iou_thresh)
         else:
             raise NotImplementedError(f"invalid NMS mode: {mode}")
-        out_segs = dets[:, :2]
         out_scores = dets[:, 2]
+        o1, o2 = dets[:, 0], dets[:, 1]
         if voting_thresh > 0:
             row_valid = jnp.arange(k) < count
-            voted = segment_voting(out_segs, s, sc * va.astype(sc.dtype),
-                                   voting_thresh, all_valid=va)
-            out_segs = jnp.where(row_valid[:, None], voted, 0.0)
-        return out_segs, out_scores, count
+            v1, v2 = segment_voting_xy(o1, o2, s1, s2,
+                                       sc * va.astype(sc.dtype),
+                                       voting_thresh, all_valid=va)
+            o1 = jnp.where(row_valid, v1, 0.0)
+            o2 = jnp.where(row_valid, v2, 0.0)
+        return jnp.stack([o1, o2], axis=-1), out_scores, count
 
-    return jax.vmap(per_query)(segs, scores.astype(jnp.float32), valid)
+    return jax.vmap(per_query)(x1.astype(jnp.float32),
+                               x2.astype(jnp.float32),
+                               scores.astype(jnp.float32), valid)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,8 @@ def annotate_points(points, targets, center_sampling="radius",
     Returns:
       labels: (B, P) bool -- point is positive (center-sampling window AND
         regression range hit, reference: libs/worker_v2.py:597-637).
-      offsets: (B, P, 2) float32 -- (dist to start, dist to end) / stride.
+      offsets: (B, 2, P) float32 -- (dist to start, dist to end) / stride,
+        channel-first (P minor) for TPU layout friendliness.
     """
     coords = points[None, :, 0]                       # (1, P)
     reg_min = points[None, :, 1]
@@ -36,7 +37,7 @@ def annotate_points(points, targets, center_sampling="radius",
 
     pt2start = coords - t0                            # (B, P)
     pt2end = t1 - coords
-    offsets = jnp.stack([pt2start, pt2end], axis=-1) / strides[..., None]
+    offsets = jnp.stack([pt2start, pt2end], axis=1) / strides[:, None, :]
 
     if center_sampling == "radius":
         ctr = 0.5 * (t0 + t1)

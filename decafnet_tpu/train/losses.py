@@ -53,9 +53,12 @@ def calc_focal_loss(logits, labels, valid, smoothing=0.2, alpha=0.5):
 
 def ctr_iou_terms(input_offsets, target_offsets, eps=1e-8):
     """Shared IoU computation for center-offset 1D boxes
-    (reference: libs/modeling/loss.py:60-167)."""
-    lp, rp = input_offsets[..., 0], input_offsets[..., 1]
-    lg, rg = target_offsets[..., 0], target_offsets[..., 1]
+    (reference: libs/modeling/loss.py:60-167).
+
+    Offsets are CHANNEL-FIRST (..., 2, N): a trailing dim of 2 is a
+    pathological TPU layout (the minor dim pads to 128 lanes)."""
+    lp, rp = input_offsets[..., 0, :], input_offsets[..., 1, :]
+    lg, rg = target_offsets[..., 0, :], target_offsets[..., 1, :]
     lkis = jnp.minimum(lp, lg)
     rkis = jnp.minimum(rp, rg)
     intsctk = rkis + lkis
@@ -85,12 +88,14 @@ def ctr_diou_loss(input_offsets, target_offsets, eps=1e-8):
 
 
 def calc_iou_loss(pred_offsets, gt_offsets, valid, reg_loss="diou"):
-    """Masked-sum IoU regression loss. Invalid rows are replaced by a safe
+    """Masked-sum IoU regression loss over channel-first (..., 2, N)
+    offsets; ``valid`` is (..., N). Invalid positions are replaced by a safe
     dummy so padding cannot produce NaNs (reference: libs/worker_v2.py:89-91,
     reduction='sum' over positive points).
     """
-    safe_pred = jnp.where(valid[..., None], pred_offsets, 1.0)
-    safe_gt = jnp.where(valid[..., None], gt_offsets, 1.0)
+    valid_cf = valid[..., None, :]
+    safe_pred = jnp.where(valid_cf, pred_offsets, 1.0)
+    safe_gt = jnp.where(valid_cf, gt_offsets, 1.0)
     if reg_loss == "diou":
         loss = ctr_diou_loss(safe_pred, safe_gt)
     elif reg_loss in ("giou", "iou"):

@@ -74,7 +74,7 @@ def build_train_step(model, optimizer, points, cfg):
 
         logits1 = jnp.concatenate(logits1, axis=1)       # (R, P)
         logits2 = jnp.concatenate(logits2, axis=1)
-        offsets = jnp.concatenate(offsets, axis=1)       # (R, P, 2)
+        offsets = jnp.concatenate(offsets, axis=2)       # (R, 2, P)
         masks = jnp.concatenate(masks, axis=1)           # (R, P)
         masks = masks & mb["row_valid"][:, None]
 

@@ -62,10 +62,10 @@ def test_iou_losses_parity():
 
     pred = np.abs(RNG.randn(40, 2)).astype(np.float32)
     gt = np.abs(RNG.randn(40, 2)).astype(np.float32)
-    got_g = np.asarray(ctr_giou_loss(jnp.asarray(pred), jnp.asarray(gt)))
+    got_g = np.asarray(ctr_giou_loss(jnp.asarray(pred.T), jnp.asarray(gt.T)))
     want_g = ref_giou(torch.from_numpy(pred), torch.from_numpy(gt)).numpy()
     np.testing.assert_allclose(got_g, want_g, rtol=1e-5, atol=1e-6)
-    got_d = np.asarray(ctr_diou_loss(jnp.asarray(pred), jnp.asarray(gt)))
+    got_d = np.asarray(ctr_diou_loss(jnp.asarray(pred.T), jnp.asarray(gt.T)))
     want_d = ref_diou(torch.from_numpy(pred), torch.from_numpy(gt)).numpy()
     np.testing.assert_allclose(got_d, want_d, rtol=1e-5, atol=1e-6)
 
@@ -105,7 +105,7 @@ def test_annotate_points_parity():
             torch.from_numpy(points), torch.from_numpy(tgt),
             center_sampling="radius", center_sampling_radius=1.5)
         np.testing.assert_array_equal(np.asarray(labels[i]), ref_l.numpy())
-        np.testing.assert_allclose(np.asarray(offsets[i]), ref_o.numpy(),
+        np.testing.assert_allclose(np.asarray(offsets[i]).T, ref_o.numpy(),
                                    rtol=1e-6, atol=1e-6)
 
     # center_sampling == 'none' branch

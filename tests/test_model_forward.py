@@ -61,7 +61,7 @@ def test_forward_shapes(name, n_out):
     for lvl in range(L):
         assert logits1[lvl].shape == (3, lens[lvl])
         assert logits2[lvl].shape == (3, lens[lvl])
-        assert offsets[lvl].shape == (3, lens[lvl], 2)
+        assert offsets[lvl].shape == (3, 2, lens[lvl])
         assert masks[lvl].shape == (3, lens[lvl])
         assert np.all(np.isfinite(np.asarray(logits2[lvl])))
         assert np.all(np.asarray(offsets[lvl]) >= 0)

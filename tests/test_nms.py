@@ -87,7 +87,8 @@ def test_soft_nms_topk_device_vs_host(n, k):
     valid = np.zeros((N,), bool)
     segs_p[:n] = segs; scores_p[:n] = scores; valid[:n] = True
     dets_d, count = soft_nms_topk(
-        jnp.asarray(segs_p), jnp.asarray(scores_p), jnp.asarray(valid), k,
+        jnp.asarray(segs_p[:, 0]), jnp.asarray(segs_p[:, 1]),
+        jnp.asarray(scores_p), jnp.asarray(valid), k,
         iou_thresh=0.1, sigma=0.9, min_score=0.001, method=2)
     dets_d = np.asarray(dets_d)
     assert int(count) == min(k, len(dets_c))
@@ -101,7 +102,7 @@ def test_hard_nms_topk_device_vs_host():
     want_segs = segs[idx[:5]]
     want_scores = scores[idx[:5]]
     dets_d, count = hard_nms_topk(
-        jnp.asarray(segs), jnp.asarray(scores),
+        jnp.asarray(segs[:, 0]), jnp.asarray(segs[:, 1]), jnp.asarray(scores),
         jnp.ones(len(segs), bool), 5, iou_thresh=0.3)
     dets_d = np.asarray(dets_d)
     np.testing.assert_allclose(dets_d[:len(want_segs), :2], want_segs,
@@ -145,7 +146,8 @@ def test_batched_nms_device_vs_host_pipeline():
         per_query.append((s, sc))
 
     got_segs, got_scores, counts = batched_nms_device(
-        jnp.asarray(segs_p), jnp.asarray(scores_p), jnp.asarray(valid), k,
+        jnp.asarray(segs_p[..., 0]), jnp.asarray(segs_p[..., 1]),
+        jnp.asarray(scores_p), jnp.asarray(valid), k,
         mode="soft_nms", iou_thresh=0.1, min_score=0.001, sigma=0.9,
         voting_thresh=0.95)
     for q in range(Q):

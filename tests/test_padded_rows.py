@@ -67,7 +67,7 @@ def test_padded_query_rows_finite_forward_and_grads():
         l1, l2, offs, masks = model.apply(p, *inputs, deterministic=True)
         l1 = jnp.concatenate(l1, 1)
         l2 = jnp.concatenate(l2, 1)
-        offs = jnp.concatenate(offs, 1)
+        offs = jnp.concatenate(offs, 2)
         masks = jnp.concatenate(masks, 1) & jnp.asarray(row_valid)[:, None]
         labels, gt_offs = annotate_points(points, targets)
         pos = labels & masks

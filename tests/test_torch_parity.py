@@ -100,6 +100,8 @@ def test_forward_parity_vs_reference(msf, scat):
     for name, g_t, w_t in zip(names, got, want):
         for lvl, (g, w) in enumerate(zip(g_t, w_t)):
             g = np.asarray(g)
+            if name == "offsets":
+                g = g.transpose(0, 2, 1)  # ours is channel-first (bs, 2, p)
             w = w.numpy()
             if name == "masks":
                 w = w.astype(bool) if w.dtype != bool else w
