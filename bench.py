@@ -82,17 +82,19 @@ def make_decode_fn(cfg, Q, T):
                         deterministic=True)["params"]
 
     lens = fpn_lengths(T // cfg.model.vid_stride, cfg.model.num_fpn_levels)
-    points = np.concatenate(select_points(
+    points_np = np.concatenate(select_points(
         generate_points(max(cfg.pt_gen.max_seq_len, T * 4),
                         cfg.pt_gen.num_fpn_levels,
                         cfg.pt_gen.regression_range, cfg.pt_gen.sigma),
         lens))
-    points = jnp.asarray(points)
-    topk = min(cfg.eval.pre_nms_topk, points.shape[0])
+    # (4, P) transposed, passed as an argument (closure constants are
+    # re-materialized per call; (P, 4) slices badly on TPU)
+    points_t = jax.device_put(np.ascontiguousarray(points_np.T))
+    topk = min(cfg.eval.pre_nms_topk, points_np.shape[0])
     nms = dict(cfg.nms)
 
     @jax.jit
-    def decode(params, vid, shallow, vm, text, tcls, tm):
+    def decode(params, vid, shallow, vm, text, tcls, tm, points_t):
         vid_q = jnp.repeat(vid, Q, axis=0)
         shallow_q = jnp.repeat(shallow, Q, axis=0)
         vm_q = jnp.repeat(vm, Q, axis=0)
@@ -108,8 +110,8 @@ def make_decode_fn(cfg, Q, T):
         ranked = jnp.where(valid, scores, -1.0)
         kth = jax.lax.top_k(ranked, topk)[0][:, -1:]
         valid = valid & (scores >= kth)
-        ctr = points[None, :, 0]
-        stride = points[None, :, 3]
+        ctr = points_t[0][None]
+        stride = points_t[3][None]
         left = ctr - offs[:, 0, :] * stride
         right = ctr + offs[:, 1, :] * stride
         valid = valid & ((right - left) > cfg.eval.seg_len_thresh)
@@ -120,7 +122,7 @@ def make_decode_fn(cfg, Q, T):
             sigma=nms["sigma"], voting_thresh=nms["voting_thresh"])
 
     args = (params, jnp.asarray(vid), jnp.asarray(shallow), jnp.asarray(vm),
-            jnp.asarray(text), jnp.asarray(tcls), jnp.asarray(tm))
+            jnp.asarray(text), jnp.asarray(tcls), jnp.asarray(tm), points_t)
     return decode, args
 
 

@@ -119,9 +119,12 @@ class Evaluator:
         cfg = self.cfg
         t0 = T // self.vid_stride
         lens = fpn_lengths(t0, cfg.model.num_fpn_levels)
-        points = np.concatenate(select_points(self.all_points, lens))
-        points = jnp.asarray(points)
-        P = points.shape[0]
+        # (4, P) transposed, device-resident, passed as an ARGUMENT: (P, 4)
+        # slices badly on TPU and jit closure constants are re-materialized
+        # per call on some platforms (12x decode cost observed)
+        points_np = np.concatenate(select_points(self.all_points, lens))
+        points_t = jax.device_put(np.ascontiguousarray(points_np.T))
+        P = points_np.shape[0]
         topk = min(self.pre_nms_topk, P)
         k_out = self.nms_cfg["max_num_segs"]
         model = self.model
@@ -135,7 +138,7 @@ class Evaluator:
 
         @jax.jit
         def decode(params, vid, shallow, vid_masks, text, text_cls,
-                   text_masks, q_valid, ext_scores, targets):
+                   text_masks, q_valid, ext_scores, targets, points_t):
             vid_q = jnp.repeat(vid, Q, axis=0)
             shallow_q = jnp.repeat(shallow, Q, axis=0)
             vmask_q = jnp.repeat(vid_masks, Q, axis=0)
@@ -168,8 +171,8 @@ class Evaluator:
             kth = jax.lax.top_k(ranked, topk)[0][:, -1:]       # (Q, 1)
             valid = valid & (scores >= kth)
 
-            ctr = points[None, :, 0]
-            stride = points[None, :, 3]
+            ctr = points_t[0][None]
+            stride = points_t[3][None]
             left = ctr - offs[:, 0, :] * stride                # (Q, P)
             right = ctr + offs[:, 1, :] * stride
             top_valid = valid & ((right - left) > seg_thresh)
@@ -179,7 +182,7 @@ class Evaluator:
             # (reference: libs/worker_v2.py:1029-1061)
             logits2_cat = jnp.concatenate(logits2, axis=1)
             gt_labels, gt_offsets = annotate_points(
-                points, targets, center_sampling=cs,
+                points_t, targets, center_sampling=cs,
                 center_sampling_radius=csr)
             pos = gt_labels & pmask
             norm = jnp.maximum(jnp.sum(pos, axis=1).astype(jnp.float32), 1.0)
@@ -198,8 +201,8 @@ class Evaluator:
                 return out_segs, out_scores, counts, cls_l, reg_l
             return left, right, top_scores, top_valid, cls_l, reg_l
 
-        self._decode_cache[key] = decode
-        return decode
+        self._decode_cache[key] = (decode, points_t)
+        return self._decode_cache[key]
 
     # ------------------------------------------------------------------
 
@@ -220,7 +223,7 @@ class Evaluator:
             T = chunk["vid"].shape[-1]
             L = chunk["text"].shape[-1]
             has_ext = chunk["ext_scores"] is not None
-            decode = self._decode_fn(T, Q, L, has_ext)
+            decode, points_t = self._decode_fn(T, Q, L, has_ext)
 
             n_q = int(chunk["q_valid"].sum())
             targets = np.tile(np.array([[0.0, 1.0]], np.float32), (Q, 1))
@@ -233,7 +236,7 @@ class Evaluator:
                          chunk["q_valid"],
                          (jnp.asarray(chunk["ext_scores"])
                           if has_ext else None),
-                         jnp.asarray(targets))
+                         jnp.asarray(targets), points_t)
             out = jax.device_get(out)
             self.time_dict["forward"].append(time.perf_counter() - t_fwd)
 

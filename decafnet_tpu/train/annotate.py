@@ -14,12 +14,15 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("center_sampling",))
-def annotate_points(points, targets, center_sampling="radius",
+def annotate_points(points_t, targets, center_sampling="radius",
                     center_sampling_radius=1.5):
     """Assign binary labels and regression offsets to candidate points.
 
     Args:
-      points: (P, 4) float32 -- (coord, reg_min, reg_max, stride).
+      points_t: (4, P) float32 -- rows (coord, reg_min, reg_max, stride).
+        TRANSPOSED and passed as an argument, never a closure constant:
+        (P, 4) arrays slice badly on TPU (trailing small dim), and jit
+        closure constants are re-materialized per call on some platforms.
       targets: (B, 2) float32 ground-truth segments in grid units.
 
     Returns:
@@ -28,10 +31,10 @@ def annotate_points(points, targets, center_sampling="radius",
       offsets: (B, 2, P) float32 -- (dist to start, dist to end) / stride,
         channel-first (P minor) for TPU layout friendliness.
     """
-    coords = points[None, :, 0]                       # (1, P)
-    reg_min = points[None, :, 1]
-    reg_max = points[None, :, 2]
-    strides = points[None, :, 3]
+    coords = points_t[0][None]                        # (1, P)
+    reg_min = points_t[1][None]
+    reg_max = points_t[2][None]
+    strides = points_t[3][None]
     t0 = targets[:, 0:1]                              # (B, 1)
     t1 = targets[:, 1:2]
 

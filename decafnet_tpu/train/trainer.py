@@ -43,11 +43,12 @@ class TrainState(struct.PyTreeNode):
     loss_norm: jnp.ndarray
 
 
-def build_train_step(model, optimizer, points, cfg):
-    """Build the jitted train step closure.
+def build_train_step(model, optimizer, cfg):
+    """Build the jitted train step.
 
-    ``points`` is the (P, 4) concatenation of per-level candidate points
-    matching the model's FPN lengths for the static input length.
+    The candidate points arrive as a (4, P) device array ARGUMENT
+    (transposed rows: coord / reg_min / reg_max / stride) -- never a closure
+    constant, which some platforms re-materialize per call.
     """
     max_num_text = cfg.data.max_num_text or 1
     micro = cfg.train.microbatch_size or cfg.train.batch_size
@@ -60,9 +61,8 @@ def build_train_step(model, optimizer, points, cfg):
         ema_beta=cfg.train.ema_beta,
         vid_stride=cfg.model.vid_stride,
     )
-    points = jnp.asarray(points)
 
-    def microbatch_loss(params, mb, rng, loss_norm):
+    def microbatch_loss(params, mb, rng, loss_norm, points_t):
         vid = jnp.repeat(mb["vid"], max_num_text, axis=0)
         shallow = jnp.repeat(mb["shallow_vid"], max_num_text, axis=0)
         vmask = jnp.repeat(mb["vid_masks"], max_num_text, axis=0)
@@ -80,7 +80,7 @@ def build_train_step(model, optimizer, points, cfg):
 
         targets = mb["targets"] / loss_cfg["vid_stride"]
         gt_labels, gt_offsets = annotate_points(
-            points, targets,
+            points_t, targets,
             center_sampling=loss_cfg["center_sampling"],
             center_sampling_radius=loss_cfg["center_sampling_radius"])
 
@@ -109,7 +109,7 @@ def build_train_step(model, optimizer, points, cfg):
             out[k] = rs(v, rows // n_micro)
         return out
 
-    def train_step(state, batch, rng):
+    def train_step(state, batch, rng, points_t):
         bsz = batch["vid"].shape[0]
         n_micro = max(bsz // micro, 1)
 
@@ -117,7 +117,7 @@ def build_train_step(model, optimizer, points, cfg):
 
         if n_micro == 1:
             (_, metrics), grads = grad_fn(state.params, batch, rng,
-                                          state.loss_norm)
+                                          state.loss_norm, points_t)
         else:
             mbs = split_micro(batch, n_micro)
             rngs = jax.random.split(rng, n_micro)
@@ -125,7 +125,8 @@ def build_train_step(model, optimizer, points, cfg):
             def body(carry, xs):
                 grads_acc, metrics_acc = carry
                 mb, r = xs
-                (_, m), g = grad_fn(state.params, mb, r, state.loss_norm)
+                (_, m), g = grad_fn(state.params, mb, r, state.loss_norm,
+                                    points_t)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, g)
                 metrics_acc = jax.tree.map(jnp.add, metrics_acc, m)
                 return (grads_acc, metrics_acc), None
@@ -207,13 +208,15 @@ class Trainer:
             params = load_torch_checkpoint(cfg.model.pretrain, "model",
                                            template=params)
 
-        # candidate points for the static train length
+        # candidate points for the static train length, transposed (4, P)
+        # and device-resident (passed as a step argument, never a closure)
         level0 = self.input_vid_len // cfg.model.vid_stride
         lens = fpn_lengths(level0, cfg.model.num_fpn_levels)
         all_points = generate_points(
             cfg.pt_gen.max_seq_len, cfg.pt_gen.num_fpn_levels,
             cfg.pt_gen.regression_range, cfg.pt_gen.sigma)
-        self.points = np.concatenate(select_points(all_points, lens))
+        self.points_t = jax.device_put(np.ascontiguousarray(
+            np.concatenate(select_points(all_points, lens)).T))
 
         sched_cfg = dict(cfg.scheduler)
         sched_cfg["_base_lr"] = cfg.optimizer.lr
@@ -228,7 +231,7 @@ class Trainer:
             loss_norm=jnp.float32(cfg.train.loss_norm))
 
         self._step_fn = jax.jit(
-            build_train_step(self.model, self.optimizer, self.points, cfg),
+            build_train_step(self.model, self.optimizer, cfg),
             donate_argnums=(0,))
 
         root = cfg.aux.logdir
@@ -344,7 +347,7 @@ class Trainer:
                 batch = shard_batch(batch, self.mesh)
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self._step_fn(self.state, batch,
-                                                    step_rng)
+                                                    step_rng, self.points_t)
                 self.itr += 1
                 for k in ("cls", "reg", "total"):
                     self.loss_meters.setdefault(k, AverageMeter()).update(

@@ -96,7 +96,7 @@ def test_annotate_points_parity():
     points = np.concatenate(generate_points(128, 4, 4, 0.5))
     targets = np.asarray([[3.0, 50.0], [0.5, 2.0], [100.0, 127.0]],
                          np.float32)
-    labels, offsets = annotate_points(jnp.asarray(points),
+    labels, offsets = annotate_points(jnp.asarray(points.T.copy()),
                                       jnp.asarray(targets),
                                       center_sampling="radius",
                                       center_sampling_radius=1.5)
@@ -109,7 +109,8 @@ def test_annotate_points_parity():
                                    rtol=1e-6, atol=1e-6)
 
     # center_sampling == 'none' branch
-    labels2, _ = annotate_points(jnp.asarray(points), jnp.asarray(targets),
+    labels2, _ = annotate_points(jnp.asarray(points.T.copy()),
+                                 jnp.asarray(targets),
                                  center_sampling="none")
     ref_l2, _, _ = ref_annotate(torch.from_numpy(points),
                                 torch.from_numpy(targets[0]),

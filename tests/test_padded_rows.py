@@ -57,10 +57,10 @@ def test_padded_query_rows_finite_forward_and_grads():
 
     # loss + grads through the padded row must stay finite
     lens = fpn_lengths(T, cfg.model.num_fpn_levels)
-    points = jnp.asarray(np.concatenate(select_points(
+    points = jnp.asarray(np.ascontiguousarray(np.concatenate(select_points(
         generate_points(cfg.pt_gen.max_seq_len, cfg.pt_gen.num_fpn_levels,
                         cfg.pt_gen.regression_range, cfg.pt_gen.sigma),
-        lens)))
+        lens)).T))
     targets = jnp.asarray(np.array([[5.0, 30.0], [0.0, 1.0]], np.float32))
 
     def loss_fn(p):
