@@ -324,8 +324,17 @@ class Trainer:
             f"Loaded checkpoint [epoch {self.epoch} / itr {self.itr}]")
 
     def load_model_only(self, path):
-        """Weights-only warm start (reference aux.model_resume,
-        libs/core/opt.py:22)."""
+        """Weights-only warm start from a native .msgpack or a
+        reference-layout .pth (reference aux.model_resume / model.pretrain,
+        libs/core/opt.py:22, libs/worker_v2.py:229-233)."""
+        if path.endswith(".pth"):
+            from ..models.import_torch import load_torch_checkpoint
+            params = load_torch_checkpoint(path, "model",
+                                           template=self.state.params)
+            ema = load_torch_checkpoint(path, "model_ema",
+                                        template=self.state.params)
+            self.state = self.state.replace(params=params, ema_params=ema)
+            return
         with open(path, "rb") as f:
             m = serialization.from_bytes(
                 jax.device_get(self._model_blob()), f.read())

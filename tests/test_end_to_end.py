@@ -96,6 +96,43 @@ def test_eval_device_vs_reference_exact(synth_paths, tmp_path):
     assert np.all(metrics_dev >= 0) and np.all(metrics_dev <= 1)
 
 
+def test_train_time_eval_cadence(synth_paths, tmp_path):
+    """aux.eval_run > 0 runs the train-time Evaluator at the epoch cadence
+    (reference: libs/worker_v2.py:359-364)."""
+    from decafnet_tpu.train import Trainer
+
+    cfg = tiny_cfg(synth_paths, str(tmp_path / "exp_cadence"))
+    cfg.aux.eval_run = 1
+    cfg.aux.eval_by = "epoch"
+    cfg.aux.dryrun = False
+    trainer = Trainer(cfg)
+    assert trainer.evaluator is not None
+    trainer.run()
+    # checkpoint written by the per-epoch evaluate() call
+    assert os.path.exists(os.path.join(cfg.aux.logdir, "models",
+                                       "last.msgpack"))
+    assert trainer.evaluator.meter.text_cnt == 0  # reset() after each run
+
+
+def test_model_resume_from_pth(synth_paths, tmp_path):
+    """aux.model_resume warm-starts from a reference-layout .pth."""
+    from decafnet_tpu.train import Trainer
+    import numpy as _np
+
+    cfg = tiny_cfg(synth_paths, str(tmp_path / "exp_src"))
+    t1 = Trainer(cfg)
+    t1.checkpoint()
+    pth = os.path.join(cfg.aux.logdir, "models", "last.pth")
+
+    cfg2 = tiny_cfg(synth_paths, str(tmp_path / "exp_warm"))
+    cfg2.aux.model_resume = pth
+    t2 = Trainer(cfg2)
+    a = _np.asarray(t1.state.params["vid_map"]["conv"]["weight"])
+    b = _np.asarray(t2.state.params["vid_map"]["conv"]["weight"])
+    _np.testing.assert_array_equal(a, b)
+    assert t2.itr == 0  # weights only, no training state
+
+
 def test_resume_from_checkpoint(synth_paths, tmp_path):
     """Auto-resume restores epoch/itr/loss_norm/opt_state
     (reference: train.py:66-69, libs/worker_v2.py:658-670)."""
