@@ -17,7 +17,6 @@ Reference control flow (libs/worker_v2.py:213-723) mapped to JAX:
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 
@@ -28,7 +27,7 @@ from flax import serialization, struct
 
 from ..data import DataLoader, batchify_train, make_dataset
 from ..models import fpn_lengths, generate_points, make_model, select_points
-from ..parallel.mesh import make_mesh, replicated, shard_batch
+from ..parallel.mesh import make_mesh, shard_batch
 from ..utils.logging import AverageMeter, Logger, time_str
 from .annotate import annotate_points
 from .losses import calc_focal_loss, calc_iou_loss
@@ -168,7 +167,6 @@ class Trainer:
             for d in range(1, min(n_dev, cfg.train.batch_size) + 1):
                 if cfg.train.batch_size % d == 0:
                     keep = d
-            import jax as _jax
             self.mesh = make_mesh(devices=list(self.mesh.devices.flat)[:keep])
             print(f"[trainer] batch {cfg.train.batch_size} not divisible by "
                   f"{n_dev} devices; using a {keep}-device data mesh")
