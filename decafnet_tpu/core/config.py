@@ -324,6 +324,7 @@ def _defaults_common(task):
     cfg.tpu.matmul_precision = "highest"
     cfg.tpu.attention_backend = "auto"  # auto | xla | pallas
     cfg.tpu.seq_buckets = ()         # extra static sequence-length buckets
+    cfg.tpu.compilation_cache = "~/.cache/decafnet_tpu/xla"  # "" disables
     return cfg
 
 

@@ -32,6 +32,11 @@ def main():
     import jax
     jax.config.update("jax_default_matmul_precision",
                       cfg.tpu.matmul_precision)
+    cache = cfg.tpu.get("compilation_cache")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from decafnet_tpu.ops import set_backend
     set_backend(cfg.tpu.attention_backend)
 
