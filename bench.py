@@ -139,7 +139,11 @@ def timed(fn, args, warmup=2, iters=8):
 
 
 def main():
+    import os
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/decafnet_tpu/xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     Q, T = 8, 2304
     clip_stride, fps = 16, 30.0

@@ -266,6 +266,7 @@ def _base_eval():
     ev.max_vid_len = None
     ev.max_num_queries = 32     # query batching bucket cap (device batching)
     ev.reference_exact = False  # replicate the reference per-query loop
+    ev.save_results = False     # dump per-video detections for analysis
     ev.data = CfgNode()
     return ev
 

@@ -287,6 +287,10 @@ class Evaluator:
         self.logger.write("Evaluation started.")
         start = time.time()
         loss_list = []
+        dump = None
+        if self.cfg.eval.get("save_results"):
+            from ..utils.analysis import EvalResults
+            dump = EvalResults(tag or self.cfg.aux.get("ckpt", "eval"))
         for samples in self.loader:
             sample = samples[0]
             meta, results, losses = self.predict_video(sample, params)
@@ -296,8 +300,14 @@ class Evaluator:
                 self.meter.update(result["segments"], result["scores"],
                                   target)
             loss_list.extend(losses)
+            if dump is not None:
+                dump.add_video(meta["clip_id"], targets_sec, results, losses)
             if self.cfg.aux.dryrun:
                 break
+        if dump is not None and self.cfg.aux.logdir:
+            dump.save(os.path.join(
+                self.cfg.aux.logdir,
+                f"results_{tag or self.cfg.aux.get('ckpt', 'eval')}.pk"))
 
         metrics, table = self.meter.table()
         log_str = "\nFinal:\n" + table + "\n-----\n"

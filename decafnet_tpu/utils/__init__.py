@@ -1,5 +1,7 @@
 from .logging import Logger, AverageMeter, time_str, easy_reduce
 from .profiling import PhaseTimer, annotate, trace
+from .analysis import EvalResults, compute_iou_by_length
 
 __all__ = ["Logger", "AverageMeter", "time_str", "easy_reduce",
-           "PhaseTimer", "annotate", "trace"]
+           "PhaseTimer", "annotate", "trace",
+           "EvalResults", "compute_iou_by_length"]
