@@ -19,7 +19,11 @@ class DataLoader:
     job, mirroring the reference's trivial collator)."""
 
     def __init__(self, dataset, batch_size, shuffle, seed=2022,
-                 drop_last=True, rank=0, world_size=1, num_threads=4):
+                 drop_last=True, rank=0, world_size=1, num_threads=4,
+                 transform=None):
+        """``transform`` (optional) maps the list of raw samples to the
+        final batch INSIDE the prefetch thread, overlapping batch assembly
+        (padding/copies) with device compute."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -28,6 +32,7 @@ class DataLoader:
         self.rank = rank
         self.world_size = world_size
         self.num_threads = max(1, num_threads)
+        self.transform = transform
         self.epoch = 0
 
     def set_epoch(self, epoch):
@@ -58,16 +63,20 @@ class DataLoader:
         batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(n_batches)]
 
+        def build(b):
+            samples = [self.dataset[int(i)] for i in b]
+            return self.transform(samples) if self.transform else samples
+
         if self.num_threads <= 1:
             for b in batches:
-                yield [self.dataset[int(i)] for i in b]
+                yield build(b)
             return
 
         q = queue.Queue(maxsize=2)
 
         def worker():
             for b in batches:
-                q.put([self.dataset[int(i)] for i in b])
+                q.put(build(b))
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)

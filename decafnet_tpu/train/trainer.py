@@ -177,15 +177,20 @@ class Trainer:
         self.dataset = make_dataset(cfg, num_epochs=self.num_epochs,
                                     is_training=True, rng=np_rng)
         self.batch_size = cfg.train.batch_size
-        self.loader = DataLoader(self.dataset, self.batch_size, shuffle=True,
-                                 seed=cfg.seed,
-                                 num_threads=cfg.train.num_workers)
+        self.max_num_text = cfg.data.max_num_text or 1
+        self.input_vid_len = cfg.data.max_vid_len
+        # batch assembly runs in the prefetch thread, overlapped with the
+        # device step
+        self.loader = DataLoader(
+            self.dataset, self.batch_size, shuffle=True, seed=cfg.seed,
+            num_threads=cfg.train.num_workers,
+            transform=lambda samples: batchify_train(
+                samples, self.input_vid_len, cfg.data.max_text_len,
+                self.max_num_text))
         self.itrs_per_epoch = len(self.loader)
         self.num_itrs = self.num_epochs * self.itrs_per_epoch
         self.epoch = self.itr = 0
 
-        self.max_num_text = cfg.data.max_num_text or 1
-        self.input_vid_len = cfg.data.max_vid_len
 
         # model + params from one real batch's shapes
         self.model = make_model(cfg)
@@ -347,10 +352,7 @@ class Trainer:
         while self.epoch < self.num_epochs:
             self.loader.set_epoch(self.epoch)
             start = time.time()
-            for samples in self.loader:
-                batch = batchify_train(samples, self.input_vid_len,
-                                       cfg.data.max_text_len,
-                                       self.max_num_text)
+            for batch in self.loader:
                 batch = shard_batch(batch, self.mesh)
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self._step_fn(self.state, batch,

@@ -109,6 +109,26 @@ def test_pool_only_backbone(synth):
     assert metrics.shape == (2, 2)
 
 
+def test_hard_nms_mode(synth):
+    """nms.mode 'nms' (greedy hard NMS) through the full evaluator."""
+    cfg = _base_cfg(synth)
+    cfg.nms.mode = "nms"
+    cfg.nms.iou_thresh = 0.3
+    ev = Evaluator(cfg, train_time=True)
+    params = _init_params(cfg, ev)
+    metrics = ev.run(ema_params=params)
+    assert metrics.shape == (2, 2)
+
+    # reference-exact host path must agree
+    cfg2 = _base_cfg(synth)
+    cfg2.nms.mode = "nms"
+    cfg2.nms.iou_thresh = 0.3
+    cfg2.eval.reference_exact = True
+    ev2 = Evaluator(cfg2, train_time=True)
+    metrics2 = ev2.run(ema_params=params)
+    np.testing.assert_allclose(metrics, metrics2, atol=1e-8)
+
+
 def test_text_identity_encoder(synth):
     cfg = _base_cfg(synth)
     cfg.model.text_net.name = "identity"
