@@ -326,6 +326,7 @@ def _defaults_common(task):
     cfg.tpu.attention_backend = "auto"  # auto | xla | pallas
     cfg.tpu.seq_buckets = ()         # extra static sequence-length buckets
     cfg.tpu.compilation_cache = "~/.cache/decafnet_tpu/xla"  # "" disables
+    cfg.tpu.remat = False  # rematerialize video encoder blocks (HBM saver)
     return cfg
 
 

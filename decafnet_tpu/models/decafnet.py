@@ -239,6 +239,8 @@ def make_model(cfg):
     tpu_cfg = cfg.get("tpu") if hasattr(cfg, "get") else None
     if tpu_cfg and tpu_cfg.get("compute_dtype") in ("bfloat16", "bf16"):
         dtype = jnp.bfloat16
+    if tpu_cfg and tpu_cfg.get("remat"):
+        model_cfg["vid_net"] = {**model_cfg["vid_net"], "remat": True}
     if name == "iter":
         return DeCafNetIterative(model_cfg, second_fusion=False,
                                  compute_dtype=dtype)

@@ -1,4 +1,8 @@
-"""Video FPN backbone (reference: libs/modeling/video_net.py)."""
+"""Video FPN backbone (reference: libs/modeling/video_net.py).
+
+Supports optional activation rematerialization (``remat``) so MAD-scale
+sequences (32k grid steps) train within HBM -- the TPU-native counterpart of
+the reference relying on eval-only long sequences."""
 
 from __future__ import annotations
 
@@ -29,6 +33,8 @@ class VideoTransformer(nn.Module):
     path_pdrop: float = 0.0
     use_abs_pe: bool = False
     pool_only: bool = False
+    remat: bool = False  # rematerialize encoder blocks (trade FLOPs for HBM
+                         # on long-sequence training, e.g. MAD at 32k)
 
     def setup(self):
         assert len(self.arch) == 3
@@ -51,8 +57,14 @@ class VideoTransformer(nn.Module):
         self.embd_convs = convs
         self.embd_norms = norms
 
+        # optional rematerialization: recompute encoder activations in the
+        # backward pass instead of storing them (jax.checkpoint via
+        # nn.remat); deterministic is passed positionally and marked static
+        Encoder = (nn.remat(TransformerEncoder, static_argnums=(3,))
+                   if self.remat else TransformerEncoder)
+
         self.stem = [
-            TransformerEncoder(
+            Encoder(
                 self.embd_dim, stride=1, n_heads=self.n_heads,
                 window_size=self.mha_win_size, attn_pdrop=self.attn_pdrop,
                 proj_pdrop=self.proj_pdrop, path_pdrop=self.path_pdrop)
@@ -61,7 +73,7 @@ class VideoTransformer(nn.Module):
 
         if not self.pool_only:
             self.branch = [
-                TransformerEncoder(
+                Encoder(
                     self.embd_dim, stride=2 if idx > 0 else 1,
                     n_heads=self.n_heads, window_size=self.mha_win_size,
                     attn_pdrop=self.attn_pdrop, proj_pdrop=self.proj_pdrop,
@@ -97,14 +109,14 @@ class VideoTransformer(nn.Module):
             x = x + pe[..., :t].astype(x.dtype) * mask.astype(x.dtype)
 
         for block in self.stem:
-            x, mask = block(x, mask, deterministic=deterministic)
+            x, mask = block(x, mask, deterministic)
 
         fpn, fpn_masks = (), ()
         for block in self.branch:
             if self.pool_only:
                 x, mask = block(x, mask)
             else:
-                x, mask = block(x, mask, deterministic=deterministic)
+                x, mask = block(x, mask, deterministic)
             fpn += (x,)
             fpn_masks += (mask,)
         return fpn, fpn_masks

@@ -349,6 +349,21 @@ class Trainer:
     def run(self):
         cfg = self.cfg
         self.logger.write("Training started.")
+
+        # preemption-signal checkpointing (SURVEY 5.3): a SIGTERM (e.g. TPU
+        # VM preemption) triggers a final checkpoint before exit; training
+        # auto-resumes from it on restart.
+        import signal
+
+        def _on_sigterm(signum, frame):
+            self.logger.write("SIGTERM received; checkpointing for resume.")
+            self.checkpoint()
+            raise SystemExit(143)
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            prev_handler = None  # not on the main thread (tests)
         while self.epoch < self.num_epochs:
             self.loader.set_epoch(self.epoch)
             start = time.time()
@@ -375,6 +390,8 @@ class Trainer:
                 self.evaluate(self.epoch)
             if cfg.aux.dryrun:
                 break
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         self.logger.write("Training completed.")
 
     def evaluate(self, ct):
