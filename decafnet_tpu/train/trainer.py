@@ -398,6 +398,9 @@ class Trainer:
         self.checkpoint()
         if (self.evaluator is not None and self.cfg.aux.eval_run > 0
                 and ct % self.cfg.aux.eval_run == 0):
+            # per-cadence eval log file (reference: libs/worker_v2.py:816-818)
+            self.evaluator.logger = Logger(os.path.join(
+                self.cfg.aux.logdir, f"eval_{self.epoch}_{self.itr}.txt"))
             self.evaluator.run(ema_params=self.state.ema_params,
                                tag=f"{self.epoch}_{self.itr}")
             self.evaluator.reset()
