@@ -126,6 +126,33 @@ def make_decode_fn(cfg, Q, T):
     return decode, args
 
 
+def check_pallas_kernel(T=2304, heads=4, dim=32, window=5):
+    """Assert the fused Pallas band-attention kernel matches the XLA
+    formulation on a live benchmark shape, on THIS backend. Real-Mosaic
+    correctness is otherwise only covered by interpret-mode CPU tests
+    (tests/test_local_attention.py); every bench run on hardware
+    re-validates the kernel here before any timing is reported."""
+    import jax
+    import jax.numpy as jnp
+    from decafnet_tpu.ops.local_attention import (band_attention_pallas,
+                                                  band_attention_xla)
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, heads, T, dim).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, heads, T, dim).astype(np.float32))
+    v = jnp.asarray(rng.randn(2, heads, T, dim).astype(np.float32))
+    mask = np.ones((2, T), bool)
+    mask[1, T - 100:] = False
+    mask = jnp.asarray(mask)
+
+    out_p = jax.jit(lambda *a: band_attention_pallas(*a, window))(q, k, v,
+                                                                  mask)
+    out_x = jax.jit(lambda *a: band_attention_xla(*a, window))(q, k, v, mask)
+    err = float(jnp.max(jnp.abs(out_p - out_x)))
+    assert err < 5e-5, f"pallas != xla on live shape (max |diff| = {err})"
+    return err
+
+
 def timed(fn, args, warmup=2, iters=8):
     import jax
     for _ in range(warmup):
@@ -144,10 +171,15 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/decafnet_tpu/xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # match the CLIs (cfg.tpu.matmul_precision default): without this, TPU
+    # matmuls run bf16-reduced and the timing would overstate the fp32 path
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     Q, T = 8, 2304
     clip_stride, fps = 16, 30.0
     cfg = build()
+
+    check_pallas_kernel()  # re-validate the fused kernel on this backend
 
     decode, args = make_decode_fn(cfg, Q, T)
     t_batched = timed(decode, args)
@@ -164,7 +196,8 @@ def main():
     print(json.dumps({
         "metric": "video_sec_per_sec_per_chip",
         "value": round(value, 2),
-        "unit": "video-seconds/sec/chip (encode+ground+decode, Q=8 queries)",
+        "unit": "video-seconds/sec/chip (ground+decode over precomputed "
+                "features, Q=8 queries)",
         "vs_baseline": round(value / baseline, 2),
     }))
 

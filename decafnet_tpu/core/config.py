@@ -150,6 +150,11 @@ def _base_aux():
 
 
 def _base_data():
+    """Reference base_data() tree, key-for-key
+    (reference: libs/core/opt.py:43-72). ``group_method``/``tokenizer`` are
+    NOT defined here -- the reference only introduces them for the charades
+    task (opt.py:501-505); the dataset falls back to its ctor defaults
+    ('greedy' / None) when the keys are absent (libs/data/dataset.py:198)."""
     data = CfgNode()
     data.name = "video_centric"
     data.split = "train"
@@ -164,22 +169,28 @@ def _base_data():
     data.ext_score_dir = None
     data.text_cls_fname = None
     data.clip_token_fname = None
+    data.ego4d_train_anno = None
+    data.ego4d_val_anno = None
+    data.ego4d_metadata = None
+    data.video_dir = None
     data.clip_size = 32
     data.clip_stride = 8
     data.to_fixed_len = False
     data.downsample_rate = 1
+    data.true_ds = None
     data.max_num_text = 2
     data.trunc_thresh = 0.5
     data.crop_ratio = (0.9, 1.0)
-    data.group_method = "greedy"
-    data.tokenizer = None
-    data.num_workers_cap = 4
     return data
 
 
-def _base_model():
+def _base_model(delegation=True):
+    """Reference model tree (reference: libs/core/opt.py:77-131 grounder,
+    opt.py:204-255 mad). ``delegation=False`` reproduces the mad/charades
+    trees, which carry only ``norm`` of the delegation knobs; released
+    configs set the rest explicitly when needed."""
     model = CfgNode()
-    model.name = "iter"
+    model.name = "default"
 
     model.text_net = CfgNode()
     model.text_net.name = "transformer"
@@ -203,6 +214,8 @@ def _base_model():
     model.vid_net.proj_pdrop = 0.1
     model.vid_net.path_pdrop = 0.1
     model.vid_net.use_abs_pe = True
+    model.vid_net.fuse = "cat"  # dead in the reference model code; kept for
+                                # config/expname parity (opt.py:102)
     model.vid_net.pool_only = False
     model.vid_net.cdrop = 0.0
 
@@ -225,23 +238,22 @@ def _base_model():
     model.reg_head.n_layers = 2
 
     model.pretrain = None
-    model.sratio = 0.0      # fraction of saliency bins kept by delegation
-    model.sn = 60           # clips per saliency bin
-    model.msf = False       # concat shallow features channel-wise
-    model.scat = False      # append correlation row as a channel
-    model.sfonly = False    # use shallow features only (eval ablation)
+    if delegation:
+        model.sratio = 0.0  # fraction of saliency bins kept by delegation
+        model.sn = 60       # clips per saliency bin
+        model.msf = False   # concat shallow features channel-wise
+        model.scat = False  # append correlation row as a channel
+        model.sfonly = False  # use shallow features only (eval ablation)
     model.norm = False      # L2-normalize before the saliency dot product
-
-    # TCN refinement stage of the iterative model
-    model.rlayer = None
-    model.rdim = 32
     return model
 
 
 def _base_train():
+    """Reference train tree (libs/core/opt.py:147-161, 262-276).
+    ``microbatch_size`` only exists for mad/charades, like the reference;
+    the Trainer reads it with .get (reference: libs/worker_v2.py:246)."""
     train = CfgNode()
     train.batch_size = 16
-    train.microbatch_size = None   # defaults to batch_size
     train.num_workers = 4
     train.epochs = 5
     train.warmup_epochs = 5
@@ -252,22 +264,26 @@ def _base_train():
     train.loss_norm_momentum = 0.9
     train.loss_weight = 1.0
     train.reg_loss = "diou"
-    train.version = 2
+    train.version = 1   # reference default; released configs set 2 (the
+                        # only live Trainer, reference train.py:72-76)
     return train
 
 
-def _base_eval():
+def _base_eval(data):
+    """Reference eval tree (libs/core/opt.py:175-189, 290-305): ``eval.data``
+    is a clone of ``data`` with every key None, backfilled by
+    ``update_eval_data``. The last three keys are TPU-framework extensions."""
     ev = CfgNode()
     ev.ranks = (1, 5)
     ev.iou_threshs = (0.3, 0.5)
     ev.pre_nms_thresh = 0.001
     ev.pre_nms_topk = 2000
     ev.seg_len_thresh = 0.1
-    ev.max_vid_len = None
+    ev.data = CfgNode({k: None for k in data})
     ev.max_num_queries = 32     # query batching bucket cap (device batching)
     ev.reference_exact = False  # replicate the reference per-query loop
     ev.save_results = False     # dump per-video detections for analysis
-    ev.data = CfgNode()
+    ev.shard_videos = 0         # stack N same-bucket videos over the mesh
     return ev
 
 
@@ -282,12 +298,12 @@ def _base_nms():
     return nms
 
 
-def _defaults_common(task):
+def _defaults_common(task, delegation=True):
     cfg = CfgNode()
     cfg.seed = None
     cfg.task = task
     cfg.aux = _base_aux()
-    cfg.model = _base_model()
+    cfg.model = _base_model(delegation=delegation)
 
     cfg.loss = CfgNode()
     cfg.loss.fc_a = 0.5   # focal alpha
@@ -311,11 +327,14 @@ def _defaults_common(task):
     cfg.scheduler.gamma = 0.1
 
     cfg.data = _base_data()
-    cfg.eval = _base_eval()
+    cfg.eval = _base_eval(cfg.data)
     cfg.nms = _base_nms()
 
     cfg.log = CfgNode()
     cfg.log.log_interval = 100
+    # dead in the reference runtime (worker_v2.py:261 commented out); kept
+    # for config parity (opt.py:199, 317)
+    cfg.log.checkpoint_epochs = (6, 7, 8, 9, 10)
     cfg.log.root = "log"
 
     # TPU-specific runtime knobs (no analogue in the reference)
@@ -337,12 +356,32 @@ def get_cfg_defaults(task="grounder"):
     ``mad`` (movie-length stress config), ``charades`` (= mad +
     short-video extras) (reference: libs/core/opt.py:514-547).
     """
-    cfg = _defaults_common(task)
-    if task == "mad" or task == "charades":
+    cfg = _defaults_common(task, delegation=(task == "grounder"))
+    if task in ("mad", "charades"):
+        # reference mad() deltas (opt.py:275,300)
         cfg.train.microbatch_size = 1
         cfg.eval.max_vid_len = 32768
+        # dead egovlp remnants that execute inside the reference's mad()
+        # body (opt.py:361-373, indented under the commented-out egovlp def):
+        # extra data/optimizer keys appear after eval.data was cloned. The
+        # reference also REPLACES loss with {dw} there, losing fc_a/fc_s --
+        # an obvious latent bug (worker_v2 reads loss.fc_a); we keep
+        # fc_a/fc_s and only add dw.
+        cfg.data.clip_d = 4.0
+        cfg.data.small_img_size = 112
+        cfg.data.max_feats = 16
+        cfg.data.npos_feats = 8
+        cfg.loss.dw = 0.0
+        cfg.optimizer.fpretrain = False
+        cfg.optimizer.lpretrain = None
     if task == "charades":
+        # reference short_video_grounder() extras (opt.py:501-509)
         cfg.data.group_method = None
+        cfg.eval.data.group_method = None
+        cfg.data.tokenizer = None
+        cfg.eval.data.tokenizer = None
+        cfg.model.rlayer = None
+        cfg.model.rdim = 32
     return cfg
 
 

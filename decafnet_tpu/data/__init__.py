@@ -9,6 +9,9 @@ from .dataset import (
 from .batching import (
     batchify_train,
     batchify_eval,
+    bucket_pow2,
+    pe_interp_arrays,
+    reference_padded_len,
     bucket_length,
     bucket_queries,
     min_chunk_size,
@@ -27,6 +30,9 @@ __all__ = [
     "DATASETS",
     "batchify_train",
     "batchify_eval",
+    "bucket_pow2",
+    "pe_interp_arrays",
+    "reference_padded_len",
     "bucket_length",
     "bucket_queries",
     "min_chunk_size",

@@ -11,9 +11,17 @@ concern for eager torch. For XLA every distinct shape is a compilation, so:
     ``jnp.repeat(vid, max_num_text, axis=0)`` happens on device.
   * eval videos are padded to a small geometric set of bucket lengths
     (multiples of the chunkable unit, then powers of two of the configured
-    input length), and query counts to power-of-two buckets. Masked-out
-    padding is numerically inert end to end (masked convs, -1e4 key masks,
-    masked decode), so bucketing cannot change results.
+    input length), and query counts / text lengths to power-of-two buckets.
+    Masked-out padding is numerically inert end to end (masked convs, -1e4
+    key masks, masked decode) with ONE exception: for videos longer than
+    the training length the reference interpolates the sinusoid PE to ITS
+    padded length (next multiple of the chunkable unit,
+    libs/worker_v2.py:969-976 + libs/modeling/video_net.py:144-151), so the
+    PE values at valid positions depend on that length. Bucketing therefore
+    ships host-precomputed interpolation gather indices/weights targeting
+    the reference's padded length (``pe_interp_arrays``); the model applies
+    them over the bucket's static length and masks the tail, keeping results
+    identical to the reference at every valid position.
 """
 
 from __future__ import annotations
@@ -61,6 +69,53 @@ def bucket_queries(q, cap=32):
     while b < q and b < cap:
         b *= 2
     return min(b, cap)
+
+
+def bucket_pow2(n, lo=8):
+    """Next power-of-two bucket >= n, at least ``lo`` -- used for eval text
+    lengths so the jitted decode program count stays bounded instead of
+    recompiling per distinct token count."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def reference_padded_len(t, chunk, base_len, vid_stride=1):
+    """The eval padding length of the reference: ``base_len`` when the video
+    fits, else the next multiple of ``chunk * vid_stride``
+    (reference: libs/worker_v2.py:969-976)."""
+    unit = chunk * vid_stride
+    if t <= base_len:
+        return base_len
+    return (t + unit - 1) // unit * unit
+
+
+def pe_interp_arrays(ref_len, bucket_len, base_len, vid_stride=1):
+    """Host-side PE interpolation plan for long videos.
+
+    Returns None when the video fits the training length (the PE table is
+    used directly), else (lo, hi, w): for each post-conv position of the
+    static *bucket*, the table gather indices and f64-computed lerp weight
+    that interpolate the table to the *reference's* post-conv length
+    ``ref_len // vid_stride``, exactly like
+    torch F.interpolate(mode='linear', align_corners=True)
+    (reference: libs/modeling/video_net.py:144-151). Positions beyond the
+    reference length hold clamped values; they are masked in the model.
+    """
+    if ref_len <= base_len:
+        return None
+    in_size = base_len // vid_stride          # PE table length (max_seq_len)
+    out_len = ref_len // vid_stride           # reference interp target
+    out_max = bucket_len // vid_stride        # static bucket positions
+    pos = np.arange(out_max, dtype=np.float64) * (in_size - 1) \
+        / max(out_len - 1, 1)
+    lo = np.clip(np.floor(pos).astype(np.int32), 0, in_size - 1)
+    hi = np.minimum(lo + 1, in_size - 1)
+    # beyond the table (masked bucket tail) lo == hi, so any weight yields
+    # the clamped edge value; clip keeps the arithmetic benign
+    w = np.clip(pos - lo, 0.0, 1.0).astype(np.float32)
+    return lo, hi, w
 
 
 def batchify_train(samples, input_vid_len, max_text_len, max_num_text):
@@ -123,6 +178,8 @@ def batchify_eval(sample, chunk, base_len, vid_stride=1, query_cap=32):
     shallow = sample["shallow_vid"]
     t = vid.shape[1]
     T = bucket_length(t, chunk * vid_stride, base_len)
+    ref_len = reference_padded_len(t, chunk, base_len, vid_stride)
+    pe_interp = pe_interp_arrays(ref_len, T, base_len, vid_stride)
 
     vid_p = pad_axis(vid, T)[None]
     shallow_p = pad_axis(shallow, T)[None]
@@ -130,7 +187,10 @@ def batchify_eval(sample, chunk, base_len, vid_stride=1, query_cap=32):
 
     texts = sample["text"]
     Q = len(texts)
-    L = max(tok.shape[1] for tok in texts)
+    # pow-2 text-length bucket: one jitted decode program per (T, Q, L)
+    # bucket instead of one per distinct token count (padded tokens are
+    # masked and numerically inert through the text net)
+    L = bucket_pow2(max(tok.shape[1] for tok in texts))
     ext = sample.get("ext_scores")
 
     chunks = []
@@ -154,7 +214,7 @@ def batchify_eval(sample, chunk, base_len, vid_stride=1, query_cap=32):
         chunks.append({
             "vid": vid_p, "shallow_vid": shallow_p, "vid_masks": vid_masks,
             "text": text, "text_masks": text_masks, "text_cls": text_cls,
-            "ext_scores": ext_p, "q_valid": q_valid,
+            "ext_scores": ext_p, "q_valid": q_valid, "pe_interp": pe_interp,
         })
 
     meta = {k: sample[k] for k in

@@ -44,12 +44,58 @@ def _load_pt(path, _):
     return torch.load(path + ".pt", map_location="cpu").numpy().astype(np.float32)
 
 
+def parse_ego4d_files(ego4d_anno, ego4d_meta):
+    """Map ego4d clip_uid -> {video_uid, video_start_sec, video_end_sec,
+    height, width} from the raw NLQ annotation + metadata JSONs
+    (reference: libs/data/dataset.py:62-91)."""
+    with open(ego4d_meta, "r") as f:
+        metadata = json.load(f)
+    v2meta = {v["video_uid"]: v["video_metadata"] for v in metadata["videos"]}
+
+    with open(ego4d_anno, "r") as f:
+        anno = json.load(f)
+
+    clip_info = {}
+    for v in anno["videos"]:
+        for clip in v["clips"]:
+            d = {k: clip[k] for k in ("video_start_sec", "video_end_sec")}
+            d["video_uid"] = v["video_uid"]
+            if v["video_uid"].startswith("grp"):
+                h, w = 1440, 1920
+            else:
+                meta = v2meta[v["video_uid"]]
+                h = meta["display_resolution_height"]
+                w = meta["display_resolution_width"]
+            d["height"], d["width"] = h, w
+            clip_info[clip["clip_uid"]] = d
+    return clip_info
+
+
+def _load_full_pt(path, dataset):
+    """ego4d features stored one .pt per parent *video* uid: remap the clip
+    uid to its video and slice out the clip's window on the 30 fps clip grid
+    (reference: libs/data/dataset.py:116-126)."""
+    import torch
+    clip_uid = os.path.basename(path)
+    feat_dir = os.path.dirname(path)
+    info = dataset.video_info_for_mv[clip_uid]
+    feature = torch.load(
+        os.path.join(feat_dir, info["video_uid"] + ".pt"),
+        map_location="cpu").numpy().astype(np.float32)
+    clip_stride = dataset.opt["clip_stride"]
+    div = lambda x: int(x * 30 // clip_stride)  # noqa: E731
+    start = max(0, div(info["video_start_sec"]))
+    end = min(div(info["video_end_sec"]), feature.shape[0] + 1)
+    return feature[start:end]
+
+
 VID_LOAD_FUNC = {
     "npy": _load_npy,
     "pk0": lambda p, d: _load_pk(p, 0),
     "pk1": lambda p, d: _load_pk(p, 1),
     "pk_avg": _load_pk_avg,
     "pt": _load_pt,
+    "full_pt": _load_full_pt,
 }
 
 
@@ -104,6 +150,26 @@ class BaseDataset:
         self.vid_dict = self._parse_annotations(data["anno_file"])
         self.vid_feat_cache = {}
         self.text_feat_cache = {}
+        self._video_info_for_mv = None
+
+    @property
+    def video_info_for_mv(self):
+        """clip_uid -> parent-video window info, needed by the ``full_pt``
+        loader; built lazily from the raw ego4d annotation + metadata files
+        (reference: libs/data/dataset.py:261-282)."""
+        if self._video_info_for_mv is None:
+            info = {}
+            for split in self.split:
+                if split == "train" and self.opt.get("ego4d_train_anno"):
+                    info.update(parse_ego4d_files(
+                        self.opt["ego4d_train_anno"],
+                        self.opt["ego4d_metadata"]))
+                if split == "val" and self.opt.get("ego4d_val_anno"):
+                    info.update(parse_ego4d_files(
+                        self.opt["ego4d_val_anno"],
+                        self.opt["ego4d_metadata"]))
+            self._video_info_for_mv = info
+        return self._video_info_for_mv
 
     # -- annotations --------------------------------------------------------
 

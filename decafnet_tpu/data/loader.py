@@ -20,10 +20,22 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size, shuffle, seed=2022,
                  drop_last=True, rank=0, world_size=1, num_threads=4,
-                 transform=None):
+                 transform=None, shard_within_batch=False):
         """``transform`` (optional) maps the list of raw samples to the
         final batch INSIDE the prefetch thread, overlapping batch assembly
-        (padding/copies) with device compute."""
+        (padding/copies) with device compute.
+
+        Sharding modes for ``world_size > 1``:
+          * default (DistributedSampler-style): each rank iterates its own
+            rank-strided subset; ``batch_size`` is PER-RANK and ranks see
+            disjoint batches.
+          * ``shard_within_batch``: every rank walks the SAME globally
+            ordered batches of ``batch_size`` (the global batch) and loads
+            only its contiguous block of each -- the host-local piece of a
+            global device array sharded on axis 0 (assembled with
+            jax.make_array_from_process_local_data in parallel/mesh.py).
+            Loss-identical to the single-process run by construction.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -33,6 +45,11 @@ class DataLoader:
         self.world_size = world_size
         self.num_threads = max(1, num_threads)
         self.transform = transform
+        self.shard_within_batch = shard_within_batch
+        if shard_within_batch:
+            assert batch_size % world_size == 0, (
+                f"global batch {batch_size} not divisible by "
+                f"{world_size} processes")
         self.epoch = 0
 
     def set_epoch(self, epoch):
@@ -45,7 +62,7 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
-        if self.world_size > 1:
+        if self.world_size > 1 and not self.shard_within_batch:
             # rank-strided shard, equal-size with drop_last semantics
             per = n // self.world_size if self.drop_last else -(-n // self.world_size)
             idx = idx[self.rank::self.world_size][:per]
@@ -62,6 +79,10 @@ class DataLoader:
         n_batches = len(self)
         batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(n_batches)]
+        if self.shard_within_batch and self.world_size > 1:
+            per = self.batch_size // self.world_size
+            batches = [b[self.rank * per:(self.rank + 1) * per]
+                       for b in batches]
 
         def build(b):
             samples = [self.dataset[int(i)] for i in b]

@@ -27,12 +27,30 @@ import numpy as np
 
 from ..data import DataLoader, batchify_eval, make_dataset, min_chunk_size
 from ..models import fpn_lengths, generate_points, make_model, select_points
+from ..parallel.mesh import batch_sharding, replicated
 from ..ops.masked import max_pool1d
 from ..ops.nms import batched_nms_device, batched_nms_host
 from ..train.annotate import annotate_points
 from ..train.losses import calc_focal_loss, calc_iou_loss
 from ..utils.logging import Logger, easy_reduce, time_str
 from .metrics import RecallMeter
+
+
+def modulated_level_scores(fpn_logits, fpn_masks, ext_scores):
+    """Per-level sigmoid scores, optionally modulated by external scores
+    which are max-pool-downsampled (k=3, s=2, p=1) level to level, then
+    masked (reference: libs/worker_v2.py:1147-1156). ``ext_scores`` is
+    (Q, T_level0) or None."""
+    scores_list = []
+    ext = ext_scores
+    for lvl, logits in enumerate(fpn_logits):
+        s = jax.nn.sigmoid(logits)
+        if ext is not None:
+            s = s * ext
+            ext = max_pool1d(ext[:, None, :], 3, 2, 1)[:, 0]
+        s = s * fpn_masks[lvl].astype(s.dtype)
+        scores_list.append(s)
+    return scores_list
 
 
 class Evaluator:
@@ -83,6 +101,8 @@ class Evaluator:
             self.logger = Logger()
         self.time_dict = defaultdict(list)
         self._decode_cache = {}
+        self._points_dev = {}
+        self.mesh = mesh
 
     def reset(self):
         self.meter.reset()
@@ -110,9 +130,21 @@ class Evaluator:
     # jitted per-shape decode
     # ------------------------------------------------------------------
 
-    def _decode_fn(self, T, Q, L, has_ext):
-        """Build (and cache) the jitted decode program for one shape bucket."""
-        key = (T, Q, L, has_ext)
+    def _decode_fn(self, T, Q, L, has_ext, V=1):
+        """Build (and cache) the jitted decode program for one shape bucket.
+
+        For long videos (T > base_len) the program takes host-precomputed PE
+        interpolation arrays as dynamic arguments, reproducing the
+        reference's PE-to-padded-length interpolation
+        (libs/modeling/video_net.py:144-151) without a recompile per
+        distinct video length.
+
+        ``V`` > 1 stacks V same-bucket videos on axis 0 (V*Q query rows);
+        with the batch sharded over the ('data',) mesh every device decodes
+        its own videos -- the eval-over-videos scaling the reference lacks
+        (its Evaluator is strictly bs=1 single-process,
+        libs/worker_v2.py:739)."""
+        key = (T, Q, L, has_ext, V)
         if key in self._decode_cache:
             return self._decode_cache[key]
 
@@ -123,7 +155,7 @@ class Evaluator:
         # slices badly on TPU and jit closure constants are re-materialized
         # per call on some platforms (12x decode cost observed)
         points_np = np.concatenate(select_points(self.all_points, lens))
-        points_t = jax.device_put(np.ascontiguousarray(points_np.T))
+        points_t = np.ascontiguousarray(points_np.T)
         P = points_np.shape[0]
         topk = min(self.pre_nms_topk, P)
         k_out = self.nms_cfg["max_num_segs"]
@@ -138,25 +170,19 @@ class Evaluator:
 
         @jax.jit
         def decode(params, vid, shallow, vid_masks, text, text_cls,
-                   text_masks, q_valid, ext_scores, targets, points_t):
+                   text_masks, q_valid, ext_scores, targets, points_t,
+                   pe_interp):
             vid_q = jnp.repeat(vid, Q, axis=0)
             shallow_q = jnp.repeat(shallow, Q, axis=0)
             vmask_q = jnp.repeat(vid_masks, Q, axis=0)
             _, logits2, offsets, masks = model.apply(
                 {"params": params}, vid_q, shallow_q, vmask_q,
-                text, text_cls, text_masks, deterministic=True)
+                text, text_cls, text_masks, deterministic=True,
+                pe_interp=pe_interp)
 
             # per-level scores with optional external score modulation
             # (reference: libs/worker_v2.py:1142-1156)
-            scores_list = []
-            ext = ext_scores
-            for lvl, logits in enumerate(logits2):
-                s = jax.nn.sigmoid(logits)
-                if ext is not None:
-                    s = s * ext
-                    ext = max_pool1d(ext[:, None, :], 3, 2, 1)[:, 0]
-                s = s * masks[lvl].astype(s.dtype)
-                scores_list.append(s)
+            scores_list = modulated_level_scores(logits2, masks, ext_scores)
             scores = jnp.concatenate(scores_list, axis=1)      # (Q, P)
             offs = jnp.concatenate(offsets, axis=2)            # (Q, 2, P)
             pmask = jnp.concatenate(masks, axis=1)             # (Q, P)
@@ -201,54 +227,119 @@ class Evaluator:
                 return out_segs, out_scores, counts, cls_l, reg_l
             return left, right, top_scores, top_valid, cls_l, reg_l
 
-        self._decode_cache[key] = (decode, points_t)
+        self._decode_cache[key] = (decode, points_t)  # points_t: host numpy
         return self._decode_cache[key]
+
+    def _points_device(self, T, points_np, sharded):
+        """Device-resident (4, P) points per (T, placement): an ARGUMENT,
+        never a closure constant (re-materialized per call on axon);
+        replicated over the mesh in sharded mode."""
+        key = (T, sharded)
+        if key not in self._points_dev:
+            if sharded:
+                self._points_dev[key] = jax.device_put(
+                    points_np, replicated(self.mesh))
+            else:
+                self._points_dev[key] = jax.device_put(points_np)
+        return self._points_dev[key]
 
     # ------------------------------------------------------------------
 
-    def predict_video(self, sample, params):
-        """All detections + diagnostics for one video's queries."""
+    def _video_items(self, sample):
+        """Split one video into per-chunk work items (+ per-row targets)."""
         t_prep = time.perf_counter()
         meta, chunks = batchify_eval(
             sample, self.chunk, self.base_len, self.vid_stride,
             self.query_cap)
         self.time_dict["prepare"].append(time.perf_counter() - t_prep)
 
-        results = []
-        losses = []
+        items = []
         q_done = 0
+        tgt = np.asarray(meta["target"], np.float32)
         for chunk in chunks:
-            t_fwd = time.perf_counter()
             Q = chunk["text"].shape[0]
-            T = chunk["vid"].shape[-1]
-            L = chunk["text"].shape[-1]
-            has_ext = chunk["ext_scores"] is not None
-            decode, points_t = self._decode_fn(T, Q, L, has_ext)
-
             n_q = int(chunk["q_valid"].sum())
             targets = np.tile(np.array([[0.0, 1.0]], np.float32), (Q, 1))
-            tgt = np.asarray(meta["target"], np.float32)
             targets[:n_q] = tgt[q_done:q_done + n_q] / self.vid_stride
+            items.append({"meta": meta, "chunk": chunk, "targets": targets,
+                          "n_q": n_q, "q_start": q_done})
+            q_done += n_q
+        return meta, items
 
-            out = decode(params, chunk["vid"], chunk["shallow_vid"],
-                         chunk["vid_masks"], chunk["text"],
-                         chunk["text_cls"], chunk["text_masks"],
-                         chunk["q_valid"],
-                         (jnp.asarray(chunk["ext_scores"])
-                          if has_ext else None),
-                         jnp.asarray(targets), points_t)
-            out = jax.device_get(out)
-            self.time_dict["forward"].append(time.perf_counter() - t_fwd)
+    def _bucket_key(self, item):
+        c = item["chunk"]
+        return (c["vid"].shape[-1], c["text"].shape[0],
+                c["text"].shape[-1], c["ext_scores"] is not None)
 
-            t_nms = time.perf_counter()
+    def _decode_group(self, items, params, sharded=False):
+        """Decode V same-bucket items (V videos x Q query rows) in one
+        jitted call; with ``sharded`` the stacked batch is placed on the
+        ('data',) mesh so each device decodes its own videos. Returns a
+        list of (results, losses) per item."""
+        V = len(items)
+        c0 = items[0]["chunk"]
+        T, Q, L = c0["vid"].shape[-1], c0["text"].shape[0], \
+            c0["text"].shape[-1]
+        has_ext = c0["ext_scores"] is not None
+        decode, points_np = self._decode_fn(T, Q, L, has_ext, V)
+        points_t = self._points_device(T, points_np, sharded)
+
+        t_fwd = time.perf_counter()
+        cat = lambda k: np.concatenate(  # noqa: E731
+            [it["chunk"][k] for it in items], axis=0)
+        vid, shallow, vmask = cat("vid"), cat("shallow_vid"), cat("vid_masks")
+        text, tmask, tcls = cat("text"), cat("text_masks"), cat("text_cls")
+        q_valid = cat("q_valid")
+        ext = cat("ext_scores") if has_ext else None
+        targets = np.concatenate([it["targets"] for it in items], axis=0)
+
+        pe_interp = c0["pe_interp"]
+        if pe_interp is not None:
+            if V == 1:
+                pe_interp = tuple(jnp.asarray(a) for a in pe_interp)
+            else:
+                # per-row interpolation plans: (V, t) repeated to (V*Q, t)
+                pe_interp = tuple(
+                    jnp.asarray(np.repeat(np.stack(
+                        [it["chunk"]["pe_interp"][j] for it in items]),
+                        Q, axis=0))
+                    for j in range(3))
+
+        if sharded:
+            sh = batch_sharding(self.mesh)
+            put = lambda x: jax.device_put(x, sh)  # noqa: E731
+            vid, shallow, vmask = put(vid), put(shallow), put(vmask)
+            text, tmask, tcls = put(text), put(tmask), put(tcls)
+            q_valid = put(q_valid)
+            targets = put(targets)
+            if ext is not None:
+                ext = put(ext)
+            if pe_interp is not None:
+                pe_interp = tuple(put(a) for a in pe_interp)
+        elif ext is not None:
+            ext = jnp.asarray(ext)
+
+        out = decode(params, vid, shallow, vmask, text, tcls, tmask,
+                     q_valid, ext, jnp.asarray(targets)
+                     if not sharded else targets, points_t, pe_interp)
+        out = jax.device_get(out)
+        self.time_dict["forward"].append(time.perf_counter() - t_fwd)
+
+        t_nms = time.perf_counter()
+        per_item = []
+        for v, item in enumerate(items):
+            meta, n_q = item["meta"], item["n_q"]
+            rows = slice(v * Q, (v + 1) * Q)
+            results, losses = [], []
             if self.reference_exact:
-                left_all, right_all, scores_all, valid_all, cls_l, reg_l = out
+                left_a, right_a, scores_a, valid_a, cls_l, reg_l = \
+                    (x[rows] for x in out)
                 for qi in range(n_q):
-                    v = valid_all[qi]
+                    m = valid_a[qi]
                     segs_np = np.stack(
-                        [left_all[qi][v], right_all[qi][v]], axis=-1)
+                        [left_a[qi][m], right_a[qi][m]], axis=-1)
                     segs, scores = batched_nms_host(
-                        segs_np, scores_all[qi][v],
+                        segs_np, scores_a[qi][m],
                         iou_thresh=self.nms_cfg["iou_thresh"],
                         min_score=self.nms_cfg["min_score"],
                         max_num_segs=self.nms_cfg["max_num_segs"],
@@ -257,19 +348,72 @@ class Evaluator:
                         voting_thresh=self.nms_cfg["voting_thresh"])
                     results.append(self._to_seconds(segs, scores, meta))
             else:
-                out_segs, out_scores, counts, cls_l, reg_l = out
+                out_segs, out_scores, counts, cls_l, reg_l = \
+                    (x[rows] for x in out)
                 for qi in range(n_q):
                     c = int(counts[qi])
                     results.append(self._to_seconds(
                         out_segs[qi][:c], out_scores[qi][:c], meta))
-            self.time_dict["nms"].append(time.perf_counter() - t_nms)
-
             for qi in range(n_q):
                 losses.append({"cls_loss": float(cls_l[qi]),
                                "reg_loss": float(reg_l[qi])})
-            q_done += n_q
+            per_item.append((results, losses))
+        self.time_dict["nms"].append(time.perf_counter() - t_nms)
+        return per_item
 
+    def predict_video(self, sample, params):
+        """All detections + diagnostics for one video's queries."""
+        meta, items = self._video_items(sample)
+        results, losses = [], []
+        for item in items:
+            (r, l), = self._decode_group([item], params)
+            results.extend(r)
+            losses.extend(l)
         return meta, results, losses
+
+    def _run_sharded(self, params, V, loss_list, dump):
+        """Stream work items into same-bucket groups of V videos; decode a
+        group when full (padding the final partial groups with inert
+        all-invalid copies) and finalize each video once all its query
+        chunks have returned."""
+        pending = {}       # bucket key -> list of items
+        states = {}        # clip_id -> assembly state
+
+        def flush(key):
+            items = pending.pop(key)
+            real = len(items)
+            while len(items) < V:   # inert pad: n_q = 0 rows are ignored
+                items.append({**items[0], "n_q": 0})
+            for item, (r, l) in zip(items[:real],
+                                    self._decode_group(items, params,
+                                                       sharded=True)[:real]):
+                st = states[item["meta"]["clip_id"]]
+                qs = item["q_start"]
+                st["results"][qs:qs + item["n_q"]] = r
+                st["losses"][qs:qs + item["n_q"]] = l
+                st["done"] += item["n_q"]
+                if st["done"] == st["total"]:
+                    self._finish_video(st["meta"], st["results"],
+                                       st["losses"], loss_list, dump)
+                    del states[item["meta"]["clip_id"]]
+
+        for samples in self.loader:
+            sample = samples[0]
+            meta, items = self._video_items(sample)
+            states[meta["clip_id"]] = {
+                "meta": meta, "total": meta["num_queries"], "done": 0,
+                "results": [None] * meta["num_queries"],
+                "losses": [None] * meta["num_queries"]}
+            for item in items:
+                key = self._bucket_key(item)
+                pending.setdefault(key, []).append(item)
+                if len(pending[key]) == V:
+                    flush(key)
+            if self.cfg.aux.dryrun:
+                break
+        for key in list(pending):
+            flush(key)
+        assert not states, f"unfinished videos: {list(states)}"
 
     def _to_seconds(self, segs, scores, meta):
         """Grid units -> seconds (reference: libs/worker_v2.py:1113-1122)."""
@@ -281,6 +425,15 @@ class Evaluator:
             segs = np.clip(segs, 0, meta["duration"])
         return {"segments": segs, "scores": np.asarray(scores).reshape(-1)}
 
+    def _finish_video(self, meta, results, losses, loss_list, dump):
+        targets_sec = np.asarray(meta["segment"], np.float64)
+        assert len(results) == len(targets_sec)
+        for result, target in zip(results, targets_sec):
+            self.meter.update(result["segments"], result["scores"], target)
+        loss_list.extend(losses)
+        if dump is not None:
+            dump.add_video(meta["clip_id"], targets_sec, results, losses)
+
     def run(self, ema_params=None, tag=None):
         params = ema_params if ema_params is not None else self.params
         assert params is not None, "no parameters to evaluate"
@@ -291,19 +444,23 @@ class Evaluator:
         if self.cfg.eval.get("save_results"):
             from ..utils.analysis import EvalResults
             dump = EvalResults(tag or self.cfg.aux.get("ckpt", "eval"))
-        for samples in self.loader:
-            sample = samples[0]
-            meta, results, losses = self.predict_video(sample, params)
-            targets_sec = np.asarray(meta["segment"], np.float64)
-            assert len(results) == len(targets_sec)
-            for result, target in zip(results, targets_sec):
-                self.meter.update(result["segments"], result["scores"],
-                                  target)
-            loss_list.extend(losses)
-            if dump is not None:
-                dump.add_video(meta["clip_id"], targets_sec, results, losses)
-            if self.cfg.aux.dryrun:
-                break
+
+        # videos sharded over the mesh: same-bucket work items from
+        # different videos are stacked (V videos x Q rows) and each device
+        # decodes its own videos -- a capability upgrade over the
+        # reference's strictly bs=1 single-process Evaluator
+        # (libs/worker_v2.py:739). shard_videos = 0/1 disables.
+        V = int(self.cfg.eval.get("shard_videos") or 1)
+        if V > 1 and self.mesh is not None:
+            params = jax.device_put(params, replicated(self.mesh))
+            self._run_sharded(params, V, loss_list, dump)
+        else:
+            for samples in self.loader:
+                sample = samples[0]
+                meta, results, losses = self.predict_video(sample, params)
+                self._finish_video(meta, results, losses, loss_list, dump)
+                if self.cfg.aux.dryrun:
+                    break
         if dump is not None and self.cfg.aux.logdir:
             dump.save(os.path.join(
                 self.cfg.aux.logdir,

@@ -69,8 +69,11 @@ class DeCafNetIterative(nn.Module):
         self.vid_net = make_video_net({**m["vid_net"], "in_dim": vid_embd})
         self.fusion = make_fusion(m["fusion"])
         self.cls_head = make_head(m["cls_head"])
+        # dropout 0.5 matches the reference TCN default
+        # (libs/modeling/tcn.py:41); tcn_dropout is a repo-only ablation knob
         self.refine = TCN(num_levels, rdim, rdim, num_layers=num_levels,
-                          in_map=True)
+                          in_map=True,
+                          dropout=m.get("tcn_dropout", 0.5))
         self.cls_head2 = make_head(
             {**m["cls_head"], "embd_dim": m["cls_head"]["embd_dim"] + rdim})
         self.reg_head = make_head(
@@ -81,8 +84,10 @@ class DeCafNetIterative(nn.Module):
     def encode_text(self, text, text_masks, deterministic=True):
         return self.text_net(text, text_masks, deterministic=deterministic)
 
-    def encode_video(self, vid, vid_masks, deterministic=True):
-        return self.vid_net(vid, vid_masks, deterministic=deterministic)
+    def encode_video(self, vid, vid_masks, deterministic=True,
+                     pe_interp=None):
+        return self.vid_net(vid, vid_masks, deterministic=deterministic,
+                            pe_interp=pe_interp)
 
     def fuse_and_predict(self, fpn, fpn_masks, text, text_masks,
                          deterministic=True):
@@ -117,12 +122,13 @@ class DeCafNetIterative(nn.Module):
         return fpn_logits, fpn_logits2, fpn_offsets, out_masks
 
     def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
-                 text_masks, deterministic=True):
+                 text_masks, deterministic=True, pe_interp=None):
         m = self.cfg
         # delegation (saliency + binary weights) always in fp32
         vid, vid_masks, _ = delegate(
             vid, shallow_vid, vid_masks, text_cls,
-            sn=m["sn"], ratio=m["sratio"], normalize=m.get("norm", False),
+            sn=m.get("sn", 60), ratio=m.get("sratio", 0.0),
+            normalize=m.get("norm", False),
             msf=m.get("msf", False), scat=m.get("scat", False),
             sfonly=m.get("sfonly", False) and deterministic)
 
@@ -138,7 +144,8 @@ class DeCafNetIterative(nn.Module):
         vid, vm = self.fusion(vid, vm, text_enc, text_mask_enc,
                               deterministic=deterministic)
         fpn, fpn_masks = self.encode_video(vid, vm,
-                                           deterministic=deterministic)
+                                           deterministic=deterministic,
+                                           pe_interp=pe_interp)
         return self.fuse_and_predict(fpn, fpn_masks, text_enc, text_mask_enc,
                                      deterministic=deterministic)
 
@@ -163,11 +170,12 @@ class DeCafNetEarlyFusion(nn.Module):
                                        broadcast_dims=(2,))
 
     def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
-                 text_masks, deterministic=True):
+                 text_masks, deterministic=True, pe_interp=None):
         m = self.cfg
         vid, vid_masks, _ = delegate(
             vid, shallow_vid, vid_masks, text_cls,
-            sn=m["sn"], ratio=m["sratio"], normalize=m.get("norm", False),
+            sn=m.get("sn", 60), ratio=m.get("sratio", 0.0),
+            normalize=m.get("norm", False),
             msf=m.get("msf", False), scat=m.get("scat", False),
             sfonly=m.get("sfonly", False) and deterministic)
         if self.compute_dtype is not None:
@@ -179,7 +187,8 @@ class DeCafNetEarlyFusion(nn.Module):
             text, text_masks, deterministic=deterministic)
         vid, vm = self.fusion(vid, vm, text_enc, text_mask_enc,
                               deterministic=deterministic)
-        fpn, fpn_masks = self.vid_net(vid, vm, deterministic=deterministic)
+        fpn, fpn_masks = self.vid_net(vid, vm, deterministic=deterministic,
+                                      pe_interp=pe_interp)
         if self.second_fusion:
             fpn, fpn_masks = self.fusion(fpn, fpn_masks, text_enc,
                                          text_mask_enc,
@@ -207,18 +216,20 @@ class DeCafNetLateFusion(nn.Module):
                                        broadcast_dims=(2,))
 
     def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
-                 text_masks, deterministic=True):
+                 text_masks, deterministic=True, pe_interp=None):
         m = self.cfg
         vid, vid_masks, _ = delegate(
             vid, shallow_vid, vid_masks, text_cls,
-            sn=m["sn"], ratio=m["sratio"], normalize=m.get("norm", False),
+            sn=m.get("sn", 60), ratio=m.get("sratio", 0.0),
+            normalize=m.get("norm", False),
             msf=m.get("msf", False), scat=m.get("scat", False))
         if self.compute_dtype is not None:
             vid = vid.astype(self.compute_dtype)
             text = text.astype(self.compute_dtype)
         vid = self.channel_drop(vid, deterministic=deterministic)
         fpn, fpn_masks = self.vid_net(vid, vid_masks[:, None, :],
-                                      deterministic=deterministic)
+                                      deterministic=deterministic,
+                                      pe_interp=pe_interp)
         text_enc, text_mask_enc = self.text_net(
             text, text_masks, deterministic=deterministic)
         fpn, fpn_masks = self.fusion(fpn, fpn_masks, text_enc, text_mask_enc,

@@ -88,7 +88,15 @@ class VideoTransformer(nn.Module):
                 for idx in range(self.arch[2])
             ]
 
-    def __call__(self, x, mask, deterministic=True):
+    def __call__(self, x, mask, deterministic=True, pe_interp=None):
+        """``pe_interp``: optional (lo, hi, w) arrays of shape (t_post,) --
+        host-precomputed linear-interpolation gather indices/weights mapping
+        the PE table onto the *reference's* padded length (which may differ
+        from this bucket's static length; see data/batching.py:pe_interp_arrays).
+        The reference interpolates the PE to its eval padding length
+        (libs/modeling/video_net.py:144-151, libs/worker_v2.py:969-976);
+        positions beyond the valid prefix are masked out below, so the
+        bucket's extra padding stays numerically inert."""
         if mask.ndim == 2:
             mask = mask[:, None, :]
 
@@ -102,7 +110,22 @@ class VideoTransformer(nn.Module):
             pe = jnp.asarray(
                 sinusoid_encoding(self.max_seq_len, self.embd_dim // 2))
             pe = pe / (self.embd_dim ** 0.5)
-            if not deterministic:
+            if pe_interp is not None:
+                lo, hi, w = pe_interp
+                if lo.ndim == 2:
+                    # per-row interpolation plans (video-sharded eval:
+                    # different videos in one batch have different
+                    # reference padded lengths) -> (B, C, t)
+                    def interp_one(l, h, ww):
+                        ww = ww[None, :]
+                        return (jnp.take(pe, l, axis=-1) * (1.0 - ww)
+                                + jnp.take(pe, h, axis=-1) * ww)
+                    pe = jax.vmap(interp_one)(lo, hi, w)
+                else:
+                    w = w[None, :]
+                    pe = (jnp.take(pe, lo, axis=-1) * (1.0 - w)
+                          + jnp.take(pe, hi, axis=-1) * w)
+            elif not deterministic:
                 assert t <= self.max_seq_len
             elif t > self.max_seq_len:
                 pe = interpolate_linear_1d(pe, t, align_corners=True)

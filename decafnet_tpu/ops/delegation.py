@@ -63,8 +63,14 @@ def delegation_weights(correl, vid_masks, sn, ratio):
     bin_mean = bin_sum / jnp.maximum(bin_cnt, 1.0)
 
     nbins = jnp.sum(bin_valid.astype(jnp.int32), axis=-1)         # (B,)
-    # int(ratio * nbins): float multiply then truncation, like the reference
-    k_keep = (ratio * nbins.astype(jnp.float32)).astype(jnp.int32)
+    # int(ratio * nbins): the reference computes this in Python float64
+    # (reference: libs/modeling/model.py:598-599). f32 on-device rounding can
+    # truncate differently (e.g. ratio=0.29 where 0.29*100 is 28.999... in
+    # f64 but 29.000002 in f32), so precompute the exact f64 truncation for
+    # every possible nbins as a trace-time table and index it on device.
+    k_table = np.asarray([int(ratio * n) for n in range(max_bins + 1)],
+                         np.int32)
+    k_keep = jnp.asarray(k_table)[nbins]
     # reference quirk: ranked[-0:] selects ALL bins, so k == 0 keeps every bin
     # (reference: libs/modeling/model.py:599 with int(ratio*nbins) == 0)
     k_keep = jnp.where(k_keep == 0, nbins, k_keep)

@@ -21,12 +21,17 @@ import numpy as np
 def masked_avg_pool1d(x, mask):
     """Global masked average over time: (..., c, t) -> (..., c, 1).
 
-    Reference: libs/modeling/blocks.py:9-17 (sum over valid / count).
+    Reference: libs/modeling/blocks.py:9-17 (sum over valid / count). The
+    reference divides by the raw count and NaNs on fully-masked rows; here
+    the denominator is clamped to 1 so an all-masked row yields zeros --
+    identical for any row with at least one valid position, and it keeps
+    the framework's no-NaN-through-padding invariant
+    (tests/test_padded_rows.py).
     """
     mask = mask.astype(x.dtype)
     x_sum = jnp.sum(x * mask, axis=-1, keepdims=True)
     n = jnp.sum(mask, axis=-1, keepdims=True)
-    return x_sum / n
+    return x_sum / jnp.maximum(n, 1.0)
 
 
 def max_pool1d(x, kernel_size=3, stride=2, padding=None):
@@ -76,16 +81,20 @@ def interpolate_nearest_1d(x, size):
 
 
 def interpolate_linear_1d(x, size, align_corners=True):
-    """torch F.interpolate(mode='linear') over the last axis."""
+    """torch F.interpolate(mode='linear') over the last axis.
+
+    Positions are computed in float64 like torch's CPU kernel (acc_type of
+    float is double on CPU); only the final lerp weight is cast to f32.
+    """
     in_size = x.shape[-1]
     if align_corners:
         if size == 1:
-            pos = np.zeros((1,), np.float32)
+            pos = np.zeros((1,), np.float64)
         else:
-            pos = np.arange(size, dtype=np.float32) * (in_size - 1) / (size - 1)
+            pos = np.arange(size, dtype=np.float64) * (in_size - 1) / (size - 1)
     else:
         scale = in_size / size
-        pos = np.maximum((np.arange(size, dtype=np.float32) + 0.5) * scale - 0.5, 0.0)
+        pos = np.maximum((np.arange(size, dtype=np.float64) + 0.5) * scale - 0.5, 0.0)
     lo = np.clip(np.floor(pos).astype(np.int32), 0, in_size - 1)
     hi = np.clip(lo + 1, 0, in_size - 1)
     w = jnp.asarray((pos - lo).astype(np.float32), dtype=x.dtype)

@@ -44,10 +44,28 @@ def replicated(mesh):
 
 
 def shard_batch(batch, mesh):
-    """Put every array in the batch dict on the mesh, sharded on axis 0."""
+    """Put every array in the batch dict on the mesh, sharded on axis 0.
+
+    Single-process: a plain sharded device_put of the global arrays.
+    Multi-process: every process holds only its contiguous axis-0 block
+    (the DataLoader's ``shard_within_batch`` mode), and the global array is
+    assembled with jax.make_array_from_process_local_data -- the SPMD
+    analogue of the reference's per-rank DistributedSampler batches feeding
+    DDP (reference: libs/data/dataset.py:1292, libs/worker_v2.py:279)."""
     sh = batch_sharding(mesh)
-    return {k: (jax.device_put(v, sh) if v is not None else None)
-            for k, v in batch.items()}
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return {k: (jax.device_put(v, sh) if v is not None else None)
+                for k, v in batch.items()}
+    out = {}
+    for k, v in batch.items():
+        if v is None:
+            out[k] = None
+            continue
+        v = np.asarray(v)
+        global_shape = (v.shape[0] * n_proc,) + v.shape[1:]
+        out[k] = jax.make_array_from_process_local_data(sh, v, global_shape)
+    return out
 
 
 def host_batch_slice(n_items, rank, world):

@@ -15,7 +15,8 @@ from .optim import (
     warmup_multistep_schedule,
     ema_update,
 )
-from .trainer import Trainer, TrainState, build_train_step
+from .trainer import (Trainer, TrainState, build_train_step,
+                      build_microbatch_loss)
 
 __all__ = [
     "sigmoid_focal_loss",
@@ -34,4 +35,5 @@ __all__ = [
     "Trainer",
     "TrainState",
     "build_train_step",
+    "build_microbatch_loss",
 ]

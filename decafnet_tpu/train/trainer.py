@@ -42,22 +42,19 @@ class TrainState(struct.PyTreeNode):
     loss_norm: jnp.ndarray
 
 
-def build_train_step(model, optimizer, cfg):
-    """Build the jitted train step.
-
-    The candidate points arrive as a (4, P) device array ARGUMENT
-    (transposed rows: coord / reg_min / reg_max / stride) -- never a closure
-    constant, which some platforms re-materialize per call.
-    """
+def build_microbatch_loss(model, cfg):
+    """The per-microbatch loss: forward -> point annotation ->
+    (focal(cls1)+focal(cls2))/2 + weighted IoU loss, each summed over valid
+    points and divided by the running loss normalizer
+    (reference: libs/worker_v2.py:386-477). Factored out of the train step
+    so the train-step oracle test can take value_and_grad of exactly the
+    code the Trainer runs."""
     max_num_text = cfg.data.max_num_text or 1
-    micro = cfg.train.microbatch_size or cfg.train.batch_size
     loss_cfg = dict(
         fc_a=cfg.loss.fc_a, fc_s=cfg.loss.fc_s,
         reg_loss=cfg.train.reg_loss, loss_weight=cfg.train.loss_weight,
         center_sampling=cfg.train.center_sampling,
         center_sampling_radius=cfg.train.center_sampling_radius,
-        loss_norm_momentum=cfg.train.loss_norm_momentum,
-        ema_beta=cfg.train.ema_beta,
         vid_stride=cfg.model.vid_stride,
     )
 
@@ -98,6 +95,23 @@ def build_train_step(model, optimizer, cfg):
         total = cls_loss + loss_cfg["loss_weight"] * reg_loss
         return total, {"cls": cls_loss, "reg": reg_loss, "total": total,
                        "norm": norm}
+
+    return microbatch_loss
+
+
+def build_train_step(model, optimizer, cfg):
+    """Build the jitted train step.
+
+    The candidate points arrive as a (4, P) device array ARGUMENT
+    (transposed rows: coord / reg_min / reg_max / stride) -- never a closure
+    constant, which some platforms re-materialize per call.
+    """
+    micro = cfg.train.get("microbatch_size") or cfg.train.batch_size
+    loss_cfg = dict(
+        loss_norm_momentum=cfg.train.loss_norm_momentum,
+        ema_beta=cfg.train.ema_beta,
+    )
+    microbatch_loss = build_microbatch_loss(model, cfg)
 
     def split_micro(batch, n_micro):
         def rs(x, rows_per):
@@ -180,10 +194,14 @@ class Trainer:
         self.max_num_text = cfg.data.max_num_text or 1
         self.input_vid_len = cfg.data.max_vid_len
         # batch assembly runs in the prefetch thread, overlapped with the
-        # device step
+        # device step; under multi-host SPMD every process loads only its
+        # contiguous block of the global batch (assembled into global
+        # arrays by shard_batch)
         self.loader = DataLoader(
             self.dataset, self.batch_size, shuffle=True, seed=cfg.seed,
             num_threads=cfg.train.num_workers,
+            rank=jax.process_index(), world_size=jax.process_count(),
+            shard_within_batch=jax.process_count() > 1,
             transform=lambda samples: batchify_train(
                 samples, self.input_vid_len, cfg.data.max_text_len,
                 self.max_num_text))
@@ -237,10 +255,16 @@ class Trainer:
             build_train_step(self.model, self.optimizer, cfg),
             donate_argnums=(0,))
 
+        # only process 0 writes logs/checkpoints (the reference does the
+        # same via rank-0 guards, libs/worker_v2.py:345-364)
+        self.is_lead = jax.process_index() == 0
         root = cfg.aux.logdir
-        os.makedirs(os.path.join(root, "models"), exist_ok=True)
-        os.makedirs(os.path.join(root, "states"), exist_ok=True)
-        self.logger = Logger(os.path.join(root, "log.txt"))
+        if self.is_lead:
+            os.makedirs(os.path.join(root, "models"), exist_ok=True)
+            os.makedirs(os.path.join(root, "states"), exist_ok=True)
+        self.logger = Logger(os.path.join(root, "log.txt")
+                             if self.is_lead else None,
+                             quiet=not self.is_lead)
         self.loss_meters = {}
         self.timer = AverageMeter()
         self.log_interval = cfg.aux.log_interval
@@ -255,7 +279,9 @@ class Trainer:
             self.load_model_only(cfg.aux.model_resume)
 
         self.evaluator = None
-        if cfg.aux.eval_run and cfg.aux.eval_run > 0:
+        # train-time eval runs on the lead process only, like the
+        # reference's rank-0 Evaluator (libs/worker_v2.py:359-364)
+        if self.is_lead and cfg.aux.eval_run and cfg.aux.eval_run > 0:
             from ..eval.evaluator import Evaluator
             self.evaluator = Evaluator(cfg, mesh=self.mesh, train_time=True)
 
@@ -279,6 +305,8 @@ class Trainer:
         }
 
     def checkpoint(self):
+        if not self.is_lead:
+            return
         root = self.cfg.aux.logdir
         blob = serialization.to_bytes(jax.device_get(self._model_blob()))
         for name in ("last.msgpack", f"{self.epoch}-{self.itr}.msgpack"):
@@ -306,6 +334,39 @@ class Trainer:
             torch.save(model_ckpt, os.path.join(root, "models", "last.pth"))
         except ImportError:
             pass
+        self._prune_checkpoints()
+
+    def _prune_checkpoints(self):
+        """Retain only the ``aux.save_run`` most recent epoch-tagged model
+        checkpoints (plus ``last.*``), bounding disk growth. The reference
+        defines aux.save_run=2 (libs/core/opt.py:26) but never wires it and
+        accumulates every epoch; epochs listed in ``log.checkpoint_epochs``
+        are additionally exempt from pruning."""
+        keep = self.cfg.aux.get("save_run", 0)
+        if not keep or keep <= 0:
+            return
+        exempt = set(int(e) for e in
+                     (self.cfg.log.get("checkpoint_epochs") or ()))
+        mdir = os.path.join(self.cfg.aux.logdir, "models")
+        tagged = {}
+        for fname in os.listdir(mdir):
+            stem, ext = os.path.splitext(fname)
+            if ext not in (".msgpack", ".pth") or "-" not in stem:
+                continue
+            try:
+                epoch, itr = (int(x) for x in stem.split("-"))
+            except ValueError:
+                continue
+            tagged.setdefault((epoch, itr), []).append(fname)
+        order = sorted(tagged, reverse=True)
+        for epoch, itr in order[keep:]:
+            if epoch in exempt:
+                continue
+            for fname in tagged[(epoch, itr)]:
+                try:
+                    os.remove(os.path.join(mdir, fname))
+                except OSError:
+                    pass
 
     def load(self, ckpt="last"):
         """Resume model weights + EMA + optimizer + schedule position
@@ -419,7 +480,8 @@ class Trainer:
         self.logger.write(" ".join(parts))
         # structured metrics stream (replaces the reference's wandb logging,
         # libs/helper/utils.py:100-141; env-gated wandb can tail this file)
-        import json
-        with open(os.path.join(self.cfg.aux.logdir, "metrics.jsonl"),
-                  "a") as f:
-            f.write(json.dumps(record) + "\n")
+        if self.is_lead:
+            import json
+            with open(os.path.join(self.cfg.aux.logdir, "metrics.jsonl"),
+                      "a") as f:
+                f.write(json.dumps(record) + "\n")

@@ -130,6 +130,47 @@ def test_batchify_eval_query_chunking(synth):
     assert chunks[0]["vid"].shape[-1] % 16 == 0
 
 
+def test_full_pt_loader_uid_remap(tmp_path):
+    """``full_pt`` loads features from one .pt per parent *video* uid and
+    slices the clip window [video_start_sec, video_end_sec] on the 30 fps
+    clip grid (reference: libs/data/dataset.py:116-126, 261-282)."""
+    import json
+    import torch
+    from decafnet_tpu.data.dataset import VID_LOAD_FUNC
+
+    feat_dir = tmp_path / "feats"
+    feat_dir.mkdir()
+    T, C = 100, 8
+    feature = np.arange(T * C, dtype=np.float32).reshape(T, C)
+    torch.save(torch.from_numpy(feature), str(feat_dir / "videoA.pt"))
+
+    anno = {"videos": [{"video_uid": "videoA", "clips": [
+        {"clip_uid": "clip1", "video_start_sec": 10.3,
+         "video_end_sec": 20.7}]}]}
+    meta = {"videos": [{"video_uid": "videoA", "video_metadata": {
+        "display_resolution_height": 1080,
+        "display_resolution_width": 1920}}]}
+    (tmp_path / "anno.json").write_text(json.dumps(anno))
+    (tmp_path / "meta.json").write_text(json.dumps(meta))
+
+    class FakeDataset:
+        split = ("train",)
+        opt = {"clip_stride": 8, "ego4d_train_anno": str(tmp_path / "anno.json"),
+               "ego4d_metadata": str(tmp_path / "meta.json")}
+        from decafnet_tpu.data.dataset import BaseDataset
+        video_info_for_mv = BaseDataset.video_info_for_mv
+        _video_info_for_mv = None
+
+    ds = FakeDataset()
+    got = VID_LOAD_FUNC["full_pt"](str(feat_dir / "clip1"), ds)
+    # reference arithmetic: div(x) = int(x * 30 // clip_stride)
+    start = int(10.3 * 30 // 8)          # 38
+    end = min(int(20.7 * 30 // 8), T + 1)  # 77
+    np.testing.assert_array_equal(got, feature[start:end])
+    assert ds.video_info_for_mv["clip1"]["video_uid"] == "videoA"
+    assert ds.video_info_for_mv["clip1"]["height"] == 1080
+
+
 def test_glove_tokenizer(tmp_path):
     vec_file = tmp_path / "glove.txt"
     vec_file.write_text(

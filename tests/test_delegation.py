@@ -61,6 +61,22 @@ def test_delegation_small_bins():
         np.testing.assert_array_equal(got, want)
 
 
+def test_delegation_f64_truncation():
+    """int(ratio * nbins) must use the reference's Python f64 semantics
+    (libs/modeling/model.py:598-599): e.g. 0.29 * 100 = 28.999... -> 28 in
+    f64 but 29.000002 -> 29 when both operands round through f32. The
+    on-device k lookup table is built with Python ints at trace time, so
+    every (ratio, nbins) matches exactly."""
+    for ratio, nbins in ((0.29, 100), (0.145, 200), (0.21, 300)):
+        correl = RNG.randn(1, nbins).astype(np.float32)
+        masks = np.ones((1, nbins), bool)
+        got = np.asarray(delegation_weights(
+            jnp.asarray(correl), jnp.asarray(masks), sn=1, ratio=ratio))
+        want = torch_delegation_oracle(correl, masks, 1, ratio)
+        assert int(got.sum()) == int(ratio * nbins)  # the f64 truncation
+        np.testing.assert_array_equal(got, want)
+
+
 def test_saliency_correlation_norm():
     B, C, T = 3, 32, 50
     sv = RNG.randn(B, C, T).astype(np.float32)

@@ -25,6 +25,7 @@ def synth(tmp_path_factory):
 
 def _base_cfg(synth, **model_over):
     cfg = get_cfg_defaults("grounder")
+    cfg.model.name = "iter"  # the live released model
     cfg.model.vid_net.in_dim = 32
     cfg.model.vid_net.embd_dim = 16
     cfg.model.vid_net.max_seq_len = 64
@@ -82,6 +83,48 @@ def test_ext_scores_modulation(synth, tmp_path):
     m0 = ev0.run(ema_params=params)
     m1 = ev1.run(ema_params=params)
     assert m1.shape == m0.shape  # runs end to end with modulation applied
+
+
+def test_modulated_level_scores_vs_torch_oracle():
+    """Numeric oracle for the modulate-then-maxpool ladder: sigmoid scores x
+    external scores, ext max-pooled (k=3, s=2, p=1) between levels, masked
+    (torch re-statement of libs/worker_v2.py:1147-1156)."""
+    import torch
+    import torch.nn.functional as F
+    from decafnet_tpu.eval.evaluator import modulated_level_scores
+
+    rng = np.random.RandomState(4)
+    Q, T, levels = 3, 64, 4
+    lens = [T >> i for i in range(levels)]
+    logits = [rng.randn(Q, n).astype(np.float32) * 2 for n in lens]
+    masks = [np.zeros((Q, n), bool) for n in lens]
+    for lvl, n in enumerate(lens):
+        for q, valid in enumerate((T, 40, 17)):
+            masks[lvl][q, :max(-(-valid >> lvl), 1)] = True
+    ext = np.abs(rng.randn(Q, T).astype(np.float32))
+
+    got = modulated_level_scores(
+        [jnp.asarray(x) for x in logits],
+        [jnp.asarray(m) for m in masks], jnp.asarray(ext))
+
+    e = torch.from_numpy(ext)
+    for lvl in range(levels):
+        s = torch.sigmoid(torch.from_numpy(logits[lvl]))
+        s = s * e
+        e = F.max_pool1d(e[:, None], kernel_size=3, stride=2, padding=1)[:, 0]
+        s = s * torch.from_numpy(masks[lvl]).float()
+        np.testing.assert_allclose(np.asarray(got[lvl]), s.numpy(),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"level {lvl}")
+
+    # without ext scores: plain masked sigmoid
+    got_plain = modulated_level_scores(
+        [jnp.asarray(x) for x in logits],
+        [jnp.asarray(m) for m in masks], None)
+    for lvl in range(levels):
+        want = 1.0 / (1.0 + np.exp(-logits[lvl])) * masks[lvl]
+        np.testing.assert_allclose(np.asarray(got_plain[lvl]), want,
+                                   rtol=1e-6, atol=1e-7)
 
 
 def test_to_fixed_len_pipeline(synth):

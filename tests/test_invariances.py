@@ -25,6 +25,7 @@ def synth(tmp_path_factory):
 
 def _cfg(synth, query_cap):
     cfg = get_cfg_defaults("grounder")
+    cfg.model.name = "iter"  # the live released model
     cfg.model.vid_net.in_dim = 32
     cfg.model.vid_net.embd_dim = 16
     cfg.model.vid_net.max_seq_len = 64

@@ -37,6 +37,19 @@ def test_masked_avg_pool1d():
     np.testing.assert_allclose(got, want.numpy(), rtol=1e-6, atol=1e-6)
 
 
+def test_masked_avg_pool1d_fully_masked_row_is_zero():
+    """An all-masked row must pool to zeros, not NaN (the reference NaNs on
+    0/0, libs/modeling/blocks.py:9-17; this framework's padded-row invariant
+    forbids NaN leaking through padding)."""
+    x = RNG.randn(2, 8, 40).astype(np.float32)
+    mask = _prefix_mask(2, 40, [13, 0])
+    got = np.asarray(masked_avg_pool1d(jnp.asarray(x), jnp.asarray(mask)))
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got[1], 0.0)
+    want = (x[0] * mask[0]).sum(-1, keepdims=True) / mask[0].sum()
+    np.testing.assert_allclose(got[0], want, rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.parametrize("t,lens", [(40, [40, 18, 7]), (64, [64, 64, 63])])
 def test_masked_max_pool1d(t, lens):
     x = RNG.randn(3, 8, t).astype(np.float32)

@@ -17,6 +17,7 @@ from decafnet_tpu.train.losses import calc_focal_loss, calc_iou_loss
 
 def _cfg():
     cfg = get_cfg_defaults("grounder")
+    cfg.model.name = "iter"  # the live released model
     cfg.model.vid_net.in_dim = 32
     cfg.model.vid_net.embd_dim = 16
     cfg.model.vid_net.max_seq_len = 64

@@ -112,6 +112,80 @@ def test_forward_parity_vs_reference(msf, scat):
                     err_msg=f"{name}[{lvl}] max|w|={np.abs(w).max():.3f}")
 
 
+def test_long_video_pe_interpolation_parity():
+    """Videos longer than max_seq_len: the reference pads to the next
+    multiple of min_chunk_size*vid_stride and interpolates the PE to THAT
+    length (libs/worker_v2.py:969-976, libs/modeling/video_net.py:144-151).
+    The repo pads to a pow-2 bucket (different total length) but ships
+    host-computed PE interpolation arrays targeting the reference length --
+    outputs must match the reference at every valid position."""
+    from decafnet_tpu.data import (min_chunk_size, pe_interp_arrays,
+                                   reference_padded_len, pad_axis)
+
+    cfg = small_cfg(msf=True, scat=False)
+    ref_model = build_reference_model(cfg)
+    sd = ref_model.state_dict()
+    model = make_model(cfg)
+
+    base_len = cfg.data.max_vid_len                        # 64
+    chunk = min_chunk_size(cfg.model.num_fpn_levels,
+                           cfg.model.mha_win_size)         # 16
+    t_valid = 100
+    ref_len = reference_padded_len(t_valid, chunk, base_len)   # 112
+    bucket = 128
+    assert ref_len == 112 and ref_len != bucket
+
+    rng = np.random.RandomState(7)
+    B, C, Ct, L = 2, 32, 24, 8
+    vid = rng.randn(B, C, t_valid).astype(np.float32)
+    shallow = rng.randn(B, C, t_valid).astype(np.float32)
+    text = rng.randn(B, Ct, L).astype(np.float32)
+    tcls = rng.randn(B, C).astype(np.float32)
+    tm = np.ones((B, L), bool)
+
+    # reference: padded to ref_len, eval-mode PE interpolation to ref_len
+    vm_ref = (np.arange(ref_len) < t_valid)[None].repeat(B, 0)
+    with torch.no_grad():
+        want = ref_model._drop_forward(
+            torch.from_numpy(pad_axis(vid, ref_len)),
+            torch.from_numpy(pad_axis(shallow, ref_len)),
+            torch.from_numpy(vm_ref), torch.from_numpy(text),
+            torch.from_numpy(tcls), torch.from_numpy(tm),
+            text_size=torch.ones(B, dtype=torch.long), eval=False)
+
+    # repo: padded to the pow-2 bucket with pe_interp arrays
+    vm_b = (np.arange(bucket) < t_valid)[None].repeat(B, 0)
+    pe_interp = pe_interp_arrays(ref_len, bucket, base_len)
+    assert pe_interp is not None
+    jinputs = tuple(map(jnp.asarray, (
+        pad_axis(vid, bucket), pad_axis(shallow, bucket), vm_b,
+        text, tcls, tm)))
+    template = model.init(jax.random.PRNGKey(0), *jinputs,
+                          deterministic=True)["params"]
+    params = state_dict_to_params(sd, template=template)
+    got = model.apply({"params": params}, *jinputs, deterministic=True,
+                      pe_interp=tuple(map(jnp.asarray, pe_interp)))
+
+    names = ("logits1", "logits2", "offsets", "masks")
+    for name, g_t, w_t in zip(names, got, want):
+        for lvl, (g, w) in enumerate(zip(g_t, w_t)):
+            g = np.asarray(g)
+            w = w.numpy()
+            if name == "masks":
+                m = w.astype(bool).reshape(B, -1)
+                np.testing.assert_array_equal(
+                    g.reshape(B, -1)[:, :m.shape[1]], m,
+                    err_msg=f"{name}[{lvl}]")
+                continue
+            ref_mask = want[3][lvl].numpy().astype(bool).reshape(B, -1)
+            if name == "offsets":
+                g = g.transpose(0, 2, 1)   # ours channel-first (bs, 2, p)
+            g = g[:, :w.shape[1]]
+            np.testing.assert_allclose(
+                g[ref_mask], w[ref_mask], rtol=2e-3, atol=2e-4,
+                err_msg=f"{name}[{lvl}]")
+
+
 def test_state_dict_roundtrip():
     cfg = small_cfg()
     ref_model = build_reference_model(cfg)

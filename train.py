@@ -46,6 +46,12 @@ def main():
     print(f"experiment: {cfg.aux.exp}")
     print(f"logdir: {root}")
 
+    # only the version-2 Trainer exists, like the reference's live dispatch
+    # (reference: train.py:72-76)
+    assert cfg.task in ("grounder", "mad", "charades"), cfg.task
+    assert cfg.train.version == 2, (
+        "only train.version=2 is implemented (set `train: {version: 2}`)")
+
     from decafnet_tpu.train import Trainer
 
     mesh = make_mesh(cfg.tpu.mesh_shape)
