@@ -120,6 +120,7 @@ class BaseDataset:
         self.opt = data
         self.rng = rng or np.random.RandomState(2022)
         self.pyrng = _random.Random(int(self.rng.randint(0, 2 ** 31)))
+        self.item_seed = int(self.rng.randint(0, 2 ** 31))
 
         vid_dirs = data["vid_feat_dir"]
         if not isinstance(vid_dirs, (list, tuple)):
@@ -283,16 +284,23 @@ class BaseDataset:
 
     # -- truncation ---------------------------------------------------------
 
-    def _truncate_vid_feats(self, feats, segments, offset, num_trials=5000):
+    def _truncate_vid_feats(self, feats, segments, offset, num_trials=5000,
+                            rng=None):
         """Random crop window keeping >= trunc_thresh of every segment
         (reference: libs/data/dataset.py:409-458). Returns
-        (feats, segments, window) where window is None if untruncated."""
+        (feats, segments, window) where window is None if untruncated.
+
+        ``rng`` (optional) decouples the draw from the shared sequential
+        stream: multi-host shard-within-batch loading builds samples in a
+        different per-process order, so per-sample randomness must be a
+        pure function of (seed, epoch, index) -- see __getitem__."""
+        rng = rng or self.pyrng
         vid_len = feats.shape[1]
         max_vid_len = self.max_vid_len
         if vid_len <= max_vid_len:
             if self.crop_ratio is None:
                 return feats, segments, None
-            max_vid_len = self.pyrng.randint(
+            max_vid_len = rng.randint(
                 max(int(math.ceil(self.crop_ratio[0] * vid_len)), 1),
                 min(int(math.ceil(self.crop_ratio[1] * vid_len)), vid_len))
             if max_vid_len == vid_len:
@@ -309,7 +317,7 @@ class BaseDataset:
             trunc_thresh = self.trunc_thresh
 
         for _ in range(num_trials):
-            ws = self.pyrng.randint(s0, s1)
+            ws = rng.randint(s0, s1)
             we = ws + max_vid_len
             start = np.clip(segments[:, 0], ws - offset, None)
             end = np.clip(segments[:, 1], None, we + offset)
@@ -459,13 +467,19 @@ class VideoCentricDataset(BaseDataset):
         segments = segments.astype(np.float32)
 
         if self.is_training:
+            # per-sample randomness keyed by (seed, epoch, index): every
+            # host derives the identical crop for the same global sample
+            # regardless of the order it builds samples in (multi-host
+            # shard-within-batch loading)
+            item_rng = _random.Random(
+                f"{self.item_seed}-{self.epoch}-{int(idx)}")
             if not self.to_fixed_len:
                 vid_feats, segments, window = self._truncate_vid_feats(
-                    vid_feats, segments, clip_offset)
+                    vid_feats, segments, clip_offset, rng=item_rng)
                 if window is not None:
                     shallow_feats = shallow_feats[:, window[0]:window[1]]
             if self.group_method == "random" and len(seg_idx) > self.max_num_text:
-                seg_idx = tuple(self.pyrng.sample(seg_idx, self.max_num_text))
+                seg_idx = tuple(item_rng.sample(seg_idx, self.max_num_text))
                 segments = segments[list(seg_idx)]
 
         text_feats_list = tuple(

@@ -16,6 +16,12 @@ from .encoder import (
     encode_video,
     make_clip_encoder,
 )
+from .pipeline import (
+    delegated_encode,
+    encode_delegate_ground,
+    expert_budget,
+    select_salient_clips,
+)
 
 __all__ = [
     "IMAGENET_MEAN",
@@ -32,4 +38,8 @@ __all__ = [
     "ClipEncoderRunner",
     "encode_video",
     "make_clip_encoder",
+    "delegated_encode",
+    "encode_delegate_ground",
+    "expert_budget",
+    "select_salient_clips",
 ]

@@ -265,6 +265,8 @@ class Trainer:
         self.logger = Logger(os.path.join(root, "log.txt")
                              if self.is_lead else None,
                              quiet=not self.is_lead)
+        from ..utils.tracking import MetricsSink
+        self.metrics_sink = MetricsSink(root, cfg, enabled=self.is_lead)
         self.loss_meters = {}
         self.timer = AverageMeter()
         self.log_interval = cfg.aux.log_interval
@@ -478,10 +480,6 @@ class Trainer:
         parts.append(time_str(self.timer.item()))
         self.timer.reset()
         self.logger.write(" ".join(parts))
-        # structured metrics stream (replaces the reference's wandb logging,
-        # libs/helper/utils.py:100-141; env-gated wandb can tail this file)
-        if self.is_lead:
-            import json
-            with open(os.path.join(self.cfg.aux.logdir, "metrics.jsonl"),
-                      "a") as f:
-                f.write(json.dumps(record) + "\n")
+        # metrics.jsonl + env-gated wandb push (replaces the reference's
+        # hardcoded-key wandb logging, libs/helper/utils.py:100-141)
+        self.metrics_sink.log(record, step=self.itr)

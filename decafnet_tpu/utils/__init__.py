@@ -1,7 +1,8 @@
 from .logging import Logger, AverageMeter, time_str, easy_reduce
 from .profiling import PhaseTimer, annotate, trace
 from .analysis import EvalResults, compute_iou_by_length
+from .tracking import MetricsSink
 
 __all__ = ["Logger", "AverageMeter", "time_str", "easy_reduce",
            "PhaseTimer", "annotate", "trace",
-           "EvalResults", "compute_iou_by_length"]
+           "EvalResults", "compute_iou_by_length", "MetricsSink"]

@@ -32,3 +32,51 @@ def test_eval_results_roundtrip_and_buckets(tmp_path):
     assert buckets[(0, 5)] == (1.0, 1)
     np.testing.assert_allclose(buckets[(5, 10)][0], 0.0)
     np.testing.assert_allclose(buckets[(10, np.inf)][0], 0.5)
+
+
+def test_metrics_sink_jsonl_and_env_gated_wandb(tmp_path, monkeypatch):
+    """MetricsSink always appends metrics.jsonl; with WANDB_API_KEY set and
+    a wandb package importable it also pushes numeric fields (the reference
+    hardcodes an API key, libs/helper/utils.py:100-128 -- env-gated here)."""
+    import json
+    import sys
+    import types
+
+    from decafnet_tpu.core import get_cfg_defaults
+    from decafnet_tpu.utils import MetricsSink
+
+    # no key -> jsonl only
+    sink = MetricsSink(str(tmp_path))
+    sink.log({"itr": 1, "train/total": 0.5, "note": "x"})
+    lines = open(tmp_path / "metrics.jsonl").read().splitlines()
+    assert json.loads(lines[0])["train/total"] == 0.5
+
+    # fake wandb + key -> push path active, resumable id from experiment
+    calls = {}
+
+    class FakeRun:
+        def log(self, payload, step=None):
+            calls.setdefault("logged", []).append((payload, step))
+
+        def finish(self):
+            calls["finished"] = True
+
+    fake = types.ModuleType("wandb")
+    def _init(**kw):
+        calls["init"] = kw
+        return FakeRun()
+
+    fake.init = _init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    monkeypatch.setenv("WANDB_API_KEY", "test-key")
+
+    cfg = get_cfg_defaults("grounder")
+    cfg.aux.exp = "expname"
+    cfg.aux.runid = 3
+    sink = MetricsSink(str(tmp_path), cfg)
+    sink.log({"itr": 2, "train/total": 0.25, "note": "skip-me"}, step=2)
+    sink.finish()
+    assert calls["init"]["id"] == "expname-3"
+    assert calls["init"]["resume"] == "allow"
+    assert calls["logged"] == [({"itr": 2, "train/total": 0.25}, 2)]
+    assert calls["finished"]

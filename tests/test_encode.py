@@ -148,3 +148,39 @@ def test_encoded_features_feed_the_grounder():
     logits1, logits2, offsets, masks = model.apply(
         {"params": params}, vid, sh, vm, text, tcls, tm, deterministic=True)
     assert all(np.isfinite(np.asarray(x)).all() for x in logits2)
+
+
+def test_delegated_encode_equals_encode_all_then_gate():
+    """Expert-encoding ONLY the selected clips then scattering must equal
+    encoding every clip and gating by the delegation weight (the
+    reference's vid * weight on precomputed features,
+    libs/modeling/model.py:606-612) -- the compute saving is free."""
+    from decafnet_tpu.encode import (ClipEncoderRunner, delegated_encode,
+                                     encode_delegate_ground, expert_budget,
+                                     make_clip_encoder, select_salient_clips)
+
+    enc = make_clip_encoder(dict(patch_size=16, dim=32, depth=1, heads=2,
+                                 out_dim=24, frames=2))
+    T, sn, ratio = 21, 4, 0.5
+    frames = RNG.rand(T, 2, 32, 32, 3).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), frames[:1])["params"]
+    runner = ClipEncoderRunner(enc, params)
+    text_cls = RNG.randn(24).astype(np.float32)
+
+    expert, sidekick, weight = encode_delegate_ground(
+        runner, runner, frames, frames, text_cls, sn, ratio)
+    assert expert.shape == (24, T) and weight.shape == (T,)
+    assert 0 < weight.sum() < T            # a strict subset was selected
+
+    all_feats = runner(frames)             # encode every clip
+    want = all_feats * weight[None, :]
+    np.testing.assert_allclose(expert, want, rtol=2e-5, atol=2e-5)
+
+    # keep-all quirk: int(ratio * nbins) == 0 selects every bin
+    k_all = expert_budget(T, sn, ratio=0.01)
+    assert k_all == T
+    idx, w_all = select_salient_clips(
+        jnp.asarray(sidekick), jnp.asarray(text_cls), sn, 0.01, k_all)
+    assert np.asarray(w_all).sum() == T
+    full = delegated_encode(runner, idx, w_all, frames)
+    np.testing.assert_allclose(full, all_feats, rtol=2e-5, atol=2e-5)
