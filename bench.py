@@ -153,7 +153,7 @@ def check_pallas_kernel(T=2304, heads=4, dim=32, window=5):
     return err
 
 
-def timed(fn, args, warmup=2, iters=8):
+def timed(fn, args, warmup=4, iters=64):
     """Steady-state per-call wall time with a TRUE device sync: over the
     axon tunnel, block_until_ready can acknowledge before remote execution
     completes (observed: a 5.9-TFLOP program "blocking" in 0.17 ms);
