@@ -16,7 +16,6 @@ Wall-clock is tracked in the same buckets as the reference
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from collections import defaultdict

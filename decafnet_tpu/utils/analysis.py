@@ -79,3 +79,34 @@ def compute_iou_by_length(results, bins=(0, 5, 10, 20, 40, np.inf)):
         out[(lo, hi)] = (float(np.mean(vals)) if vals else float("nan"),
                          len(vals))
     return out
+
+
+def compute_iou(intervals1, intervals2):
+    """Pairwise interval IoU between two lists of (start, end) intervals,
+    returned as (s1, e1, s2, e2, iou) tuples in pair order
+    (reference: libs/helper/utils.py:283-312; the reference's "union" is
+    the enclosing span min(starts)..max(ends), reproduced here)."""
+    out = []
+    for (s1, e1) in intervals1:
+        for (s2, e2) in intervals2:
+            inter = max(0, min(e1, e2) - max(s1, s2))
+            union = max(e1, e2) - min(s1, s2)
+            out.append((s1, e1, s2, e2, inter / union if union > 0 else 0))
+    return out
+
+
+def interpolate_array(original_array, target_length, kind="linear"):
+    """Resample a 1-D array to ``target_length`` over
+    linspace(0, n-1, target_length) sample positions
+    (reference: libs/helper/utils.py:315-343, scipy.interp1d-based;
+    numpy-only here -- 'linear' and 'nearest' kinds)."""
+    x = np.asarray(original_array, np.float64)
+    n = len(x)
+    pos = np.linspace(0, n - 1, target_length)
+    if kind == "nearest":
+        # scipy 'nearest' rounds half toward the lower sample
+        idx = np.clip(np.ceil(pos - 0.5).astype(np.int64), 0, n - 1)
+        return x[idx]
+    if kind != "linear":
+        raise ValueError(f"unsupported interpolation kind: {kind}")
+    return np.interp(pos, np.arange(n), x)

@@ -80,3 +80,25 @@ def test_metrics_sink_jsonl_and_env_gated_wandb(tmp_path, monkeypatch):
     assert calls["init"]["resume"] == "allow"
     assert calls["logged"] == [({"itr": 2, "train/total": 0.25}, 2)]
     assert calls["finished"]
+
+
+def test_compute_iou_and_interpolate_array():
+    """Offline helpers vs the reference semantics
+    (libs/helper/utils.py:283-343): pairwise IoU uses the ENCLOSING span as
+    the union; interpolate_array resamples over linspace(0, n-1, m)."""
+    import numpy as np
+    from decafnet_tpu.utils.analysis import compute_iou, interpolate_array
+
+    out = compute_iou([(0, 10), (5, 15)], [(5, 10)])
+    assert out[0] == (0, 10, 5, 10, 0.5)
+    s1, e1, s2, e2, iou = out[1]
+    assert (s1, e1, s2, e2) == (5, 15, 5, 10)
+    np.testing.assert_allclose(iou, 5 / 10)
+
+    x = np.array([0.0, 1.0, 4.0, 9.0])
+    y = interpolate_array(x, 7)
+    np.testing.assert_allclose(y, np.interp(np.linspace(0, 3, 7),
+                                            np.arange(4), x))
+    yn = interpolate_array(x, 7, kind="nearest")
+    assert yn.shape == (7,)
+    assert set(yn) <= set(x)
