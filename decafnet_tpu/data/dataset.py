@@ -586,9 +586,14 @@ DATASETS = {
 
 
 def make_dataset(cfg, num_epochs=1, is_training=True, rng=None):
-    """Dataset factory (reference: libs/data/dataset.py:1250-1275)."""
+    """Dataset factory (reference: libs/data/dataset.py:1250-1275).
+
+    At eval an ``eval_name`` key, when set, overrides the dataset registry
+    name (reference: dataset.py:1264-1269)."""
     data_opt = cfg.eval.data if not is_training else cfg.data
     name = data_opt["name"]
+    if not is_training and data_opt.get("eval_name"):
+        name = data_opt["eval_name"]
     split = data_opt["split"]
     return DATASETS[name](data_opt, split, is_training,
                           num_epochs=num_epochs, rng=rng)

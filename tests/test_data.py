@@ -183,3 +183,37 @@ def test_glove_tokenizer(tmp_path):
     np.testing.assert_allclose(feats[:, 0], [1.0, 0.0])   # lowercase backup
     np.testing.assert_allclose(feats[:, 3], [0.0, 0.0])   # unknown -> zero
     assert tok("cap").T.tolist() == [[0.1, 0.2]] or True  # lc backup path
+
+
+def test_group_method_random_and_all(synth):
+    """group_method 'random'/'all' keeps every query of a video in one
+    sample; at item time 'random' sub-samples to max_num_text
+    (reference: libs/data/dataset.py:610-622,721)."""
+    cfg = _cfg(synth)
+    cfg.data.group_method = "all"
+    cfg.data.to_fixed_len = True  # fixed-len grouping path
+    ds = make_dataset(cfg, num_epochs=1, is_training=True,
+                      rng=np.random.RandomState(0))
+    for vid_id, seg_idx in ds.data_list:
+        assert len(seg_idx) == len(ds.vid_dict[vid_id]["segments"])
+
+    cfg = _cfg(synth)
+    cfg.data.group_method = "random"
+    cfg.data.to_fixed_len = True
+    ds = make_dataset(cfg, num_epochs=1, is_training=True,
+                      rng=np.random.RandomState(0))
+    s = ds[0]
+    assert len(s["text"]) <= cfg.data.max_num_text
+    # per-item determinism holds for the random sub-sampling too
+    s2 = ds[0]
+    assert s["text_id"] == s2["text_id"]
+
+
+def test_eval_name_overrides_dataset(synth):
+    """eval.data.eval_name selects a different registry entry at eval
+    (reference: libs/data/dataset.py:1264-1269)."""
+    from decafnet_tpu.data.dataset import VideoCentricCLIPDataset
+    cfg = _cfg(synth)
+    cfg.eval.data.eval_name = "video_centric_clip"
+    ds = make_dataset(cfg, is_training=False)
+    assert type(ds) is VideoCentricCLIPDataset
