@@ -220,7 +220,10 @@ class MaskedMHA(nn.Module):
         bs = q.shape[0]
         h = self.n_heads
         d = self.embd_dim // h
-        scale = 1.0 / np.sqrt(np.sqrt(d))
+        # Python float (weak type): a numpy scalar here silently promoted
+        # bf16 activations to f32, disabling the bf16 compute mode for the
+        # entire FPN + heads downstream
+        scale = float(1.0 / np.sqrt(np.sqrt(d)))
 
         qp = self.query(q)
         kp = self.key(k)
