@@ -113,3 +113,34 @@ def test_points_generator():
     np.testing.assert_allclose(pts[2][0, 1:3], [4, 16])
     assert pts[6][0, 2] >= 257
     np.testing.assert_allclose(pts[3][:, 3], 8.0)
+
+
+def test_compute_dtype_propagates_end_to_end():
+    """tpu.compute_dtype=bfloat16 must reach the heads: a numpy-f64 scalar
+    in the attention scale once silently promoted everything after the
+    first attention back to f32, voiding the speed mode. eval_shape only
+    traces (no bf16 execution needed on CPU)."""
+    import jax
+    import numpy as np
+    from decafnet_tpu.models import make_model
+
+    cfg = tiny_cfg("iter")
+    cfg.tpu.compute_dtype = "bfloat16"
+    model = make_model(cfg)
+    Q, T = 2, cfg.data.max_vid_len
+    cv, ct, L = (cfg.model.vid_net.in_dim, cfg.model.text_net.in_dim,
+                 cfg.data.max_text_len)
+    vid = np.zeros((Q, cv, T), np.float32)
+    vm = np.ones((Q, T), bool)
+    text = np.zeros((Q, ct, L), np.float32)
+    tcls = np.zeros((Q, cv), np.float32)
+    tm = np.ones((Q, L), bool)
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), vid, vid, vm, text, tcls,
+                           tm, deterministic=True))
+    out = jax.eval_shape(
+        lambda p: model.apply(p, vid, vid, vm, text, tcls, tm,
+                              deterministic=True), params)
+    logits1, logits2, offsets, masks = out
+    assert logits2[0].dtype == np.dtype("bfloat16"), logits2[0].dtype
+    assert offsets[0].dtype == np.dtype("bfloat16"), offsets[0].dtype
