@@ -53,7 +53,7 @@ def synth(tmp_path_factory):
                                   clip_range=(40, 130), seed=3)
 
 
-def _cfg(synth, logdir):
+def _cfg(synth, logdir, variant="msf"):
     cfg = get_cfg_defaults("grounder")
     cfg.model.name = "iter"
     cfg.model.vid_net.in_dim = 32
@@ -68,9 +68,18 @@ def _cfg(synth, logdir):
     cfg.model.fusion.n_layers = 2
     cfg.model.fusion.proj_pdrop = 0.0
     cfg.model.fusion.path_pdrop = 0.0
-    cfg.model.sratio = 0.5
-    cfg.model.sn = 8
-    cfg.model.msf = True
+    if variant == "msf":
+        # the released DeCafNet shape: shallow concat (msf)
+        cfg.model.sratio = 0.5
+        cfg.model.sn = 8
+        cfg.model.msf = True
+    else:
+        # the other delegation branches: mask-AND gating (msf=False) with
+        # the correlation row appended (scat), released 30% ratio
+        cfg.model.sratio = 0.3
+        cfg.model.sn = 8
+        cfg.model.msf = False
+        cfg.model.scat = True
     cfg.train.num_workers = 0
     cfg.train.version = 2
     cfg.seed = 5
@@ -91,11 +100,13 @@ def _cfg(synth, logdir):
     return cfg
 
 
-@pytest.fixture(scope="module")
-def shared(ref_worker, synth, tmp_path_factory):
-    """One repo Evaluator + one reference Evaluator over the same weights."""
+@pytest.fixture(scope="module", params=["msf", "gate_scat"])
+def shared(request, ref_worker, synth, tmp_path_factory):
+    """One repo Evaluator + one reference Evaluator over the same weights;
+    parametrized over the delegation branches (shallow-concat msf vs
+    mask-AND gating + scat at the released 30% ratio)."""
     logdir = str(tmp_path_factory.mktemp("oracle_log"))
-    cfg = _cfg(synth, logdir)
+    cfg = _cfg(synth, logdir, variant=request.param)
 
     # init repo params (zeros of the right shapes) and export them as a
     # reference-layout .pth
