@@ -125,3 +125,22 @@ def test_sharded_groups_exercise_padding(synth):
     assert ev.meter.text_cnt == sum(
         len(info["text_ids"]) for info in ev.dataset.vid_dict.values())
     assert np.isfinite(metrics).all()
+
+
+def test_sharded_reference_exact_mode(synth):
+    """Sharding composes with reference_exact (host C++ SoftNMS per row):
+    counts equal the unsharded reference_exact run."""
+    cfg0 = _cfg(synth, shard_videos=0)
+    cfg0.eval.reference_exact = True
+    ev0 = Evaluator(cfg0, train_time=True)
+    params = _params(cfg0, ev0)
+    ev0.run(ema_params=params)
+
+    mesh = make_mesh()
+    cfg1 = _cfg(synth, shard_videos=mesh.devices.size)
+    cfg1.eval.reference_exact = True
+    ev1 = Evaluator(cfg1, mesh=mesh, train_time=True)
+    ev1.run(ema_params=params)
+
+    np.testing.assert_array_equal(ev1.meter.counts, ev0.meter.counts)
+    assert ev1.meter.text_cnt == ev0.meter.text_cnt
