@@ -112,6 +112,49 @@ def test_forward_parity_vs_reference(msf, scat):
                     err_msg=f"{name}[{lvl}] max|w|={np.abs(w).max():.3f}")
 
 
+def test_forward_parity_identity_textnet_pool_only_norm():
+    """The remaining config branches vs the reference: TextIdentity text net
+    (AttNPool CLS pooling), pool_only video branches (depthwise convs
+    instead of encoders), and L2-normalized saliency (model.norm)."""
+    cfg = small_cfg(msf=True)
+    cfg.model.text_net.name = "identity"
+    del cfg.model.text_net["n_layers"]  # TextIdentity has no layer stack
+    cfg.model.vid_net.pool_only = True
+    cfg.model.norm = True
+    ref_model = build_reference_model(cfg)
+    sd = ref_model.state_dict()
+
+    model = make_model(cfg)
+    rng = np.random.RandomState(5)
+    vid, shallow, vm, text, tcls, tm = make_inputs(rng)
+    jinputs = tuple(map(jnp.asarray, (vid, shallow, vm, text, tcls, tm)))
+    template = model.init(jax.random.PRNGKey(0), *jinputs,
+                          deterministic=True)["params"]
+    params = state_dict_to_params(sd, template=template)
+    got = model.apply({"params": params}, *jinputs, deterministic=True)
+
+    with torch.no_grad():
+        want = ref_model._drop_forward(
+            torch.from_numpy(vid), torch.from_numpy(shallow),
+            torch.from_numpy(vm), torch.from_numpy(text),
+            torch.from_numpy(tcls), torch.from_numpy(tm),
+            text_size=torch.ones(len(vid), dtype=torch.long), eval=False)
+
+    for name, g_t, w_t in zip(("logits1", "logits2", "offsets", "masks"),
+                              got, want):
+        for lvl, (g, w) in enumerate(zip(g_t, w_t)):
+            g = np.asarray(g)
+            if name == "offsets":
+                g = g.transpose(0, 2, 1)
+            w = w.numpy()
+            if name == "masks":
+                np.testing.assert_array_equal(g, w.astype(bool),
+                                              err_msg=f"{name}[{lvl}]")
+            else:
+                np.testing.assert_allclose(g, w, rtol=2e-3, atol=2e-4,
+                                           err_msg=f"{name}[{lvl}]")
+
+
 def test_long_video_pe_interpolation_parity():
     """Videos longer than max_seq_len: the reference pads to the next
     multiple of min_chunk_size*vid_stride and interpolates the PE to THAT
