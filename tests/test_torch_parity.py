@@ -229,6 +229,59 @@ def test_long_video_pe_interpolation_parity():
                 err_msg=f"{name}[{lvl}]")
 
 
+@pytest.mark.parametrize("name,second_fusion", [("early", False),
+                                                ("early2", True),
+                                                ("default", None)])
+def test_variant_forward_parity(name, second_fusion):
+    """The documented architecture variants vs their reference classes:
+    PtTransformerEarlyFusion (early/early2, libs/modeling/model.py:163-373)
+    and the 'default' late-fusion PtTransformer (model.py:30-161). No
+    released weights exist for these, so random-init state_dict import +
+    train-path forward parity is the strongest available evidence."""
+    from libs.modeling.model import PtTransformer, PtTransformerEarlyFusion
+
+    cfg = small_cfg(msf=True)
+    cfg.model.name = name
+    if name == "default":
+        ref_model = PtTransformer(cfg.clone())
+    else:
+        ref_model = PtTransformerEarlyFusion(cfg.clone(),
+                                             second_fusion=second_fusion)
+    ref_model.eval()
+    sd = ref_model.state_dict()
+
+    model = make_model(cfg)
+    rng = np.random.RandomState(9)
+    vid, shallow, vm, text, tcls, tm = make_inputs(rng)
+    jinputs = tuple(map(jnp.asarray, (vid, shallow, vm, text, tcls, tm)))
+    template = model.init(jax.random.PRNGKey(0), *jinputs,
+                          deterministic=True)["params"]
+    params = state_dict_to_params(sd, template=template)
+    got = model.apply({"params": params}, *jinputs, deterministic=True)
+
+    with torch.no_grad():
+        want = ref_model._drop_forward(
+            torch.from_numpy(vid), torch.from_numpy(shallow),
+            torch.from_numpy(vm), torch.from_numpy(text),
+            torch.from_numpy(tcls), torch.from_numpy(tm),
+            text_size=torch.ones(len(vid), dtype=torch.long), eval=False)
+
+    for oname, g_t, w_t in zip(("logits", "offsets", "masks"), got, want):
+        for lvl, (g, w) in enumerate(zip(g_t, w_t)):
+            g = np.asarray(g)
+            if oname == "offsets":
+                g = g.transpose(0, 2, 1)
+            w = w.numpy()
+            if oname == "masks":
+                np.testing.assert_array_equal(
+                    g.reshape(g.shape[0], -1),
+                    w.astype(bool).reshape(w.shape[0], -1),
+                    err_msg=f"{name} {oname}[{lvl}]")
+            else:
+                np.testing.assert_allclose(g, w, rtol=2e-3, atol=2e-4,
+                                           err_msg=f"{name} {oname}[{lvl}]")
+
+
 def test_state_dict_roundtrip():
     cfg = small_cfg()
     ref_model = build_reference_model(cfg)
