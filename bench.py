@@ -4,14 +4,19 @@
 Measures the full eval-side pipeline on NLQ-scale shapes (delegation ->
 early fusion -> 7-level banded-attention FPN -> dual heads with TCN
 refinement -> proposal decode -> on-device SoftNMS + voting), steady-state,
-on the available accelerator.
+on the available accelerator, the way the framework is meant to run in
+production: V same-bucket videos x Q queries stacked into one jitted call
+(the Evaluator's ``_decode_group`` shape, eval/evaluator.py:274-324), with
+>= 32 calls queued before a true ``device_get`` sync so per-call dispatch
+overhead amortizes the same way it does in a real eval stream.
 
 ``vs_baseline`` is the speedup over the reference's evaluation STRUCTURE on
-the same chip: the reference loops queries in Python and re-encodes the
-video once per query (reference: libs/modeling/model.py:480-565,
-libs/worker_v2.py:940-955), so the baseline runs the identical compiled
-pipeline with query-batch 1, once per query. This isolates the gain of the
-TPU-native batched design from raw hardware differences.
+the same chip: the reference evaluates one video at a time and loops queries
+in Python, re-encoding the video once per query (reference:
+libs/modeling/model.py:480-565, libs/worker_v2.py:940-955), so the baseline
+runs the identical compiled pipeline with one video x one query per call,
+V*Q sequential calls, identically queued and synced. This isolates the gain
+of the TPU-native batched design from raw hardware differences.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -55,8 +60,9 @@ def build(cfg_overrides=None):
     return cfg
 
 
-def make_decode_fn(cfg, Q, T):
-    """Jitted full eval step for Q queries over one video of length T."""
+def make_decode_fn(cfg, Q, T, V=1):
+    """Jitted full eval step for V same-bucket videos x Q queries each
+    (V*Q query rows per call, the Evaluator's ``_decode_group`` stacking)."""
     import jax
     import jax.numpy as jnp
     from decafnet_tpu.models import (fpn_lengths, generate_points,
@@ -68,20 +74,21 @@ def make_decode_fn(cfg, Q, T):
     L = cfg.data.max_text_len
     cv, ct = cfg.model.vid_net.in_dim, cfg.model.text_net.in_dim
 
-    vid = rng.randn(1, cv, T).astype(np.float32)
-    shallow = rng.randn(1, cv, T).astype(np.float32)
-    vm = np.ones((1, T), bool)
-    text = rng.randn(Q, ct, L).astype(np.float32)
-    tcls = rng.randn(Q, cv).astype(np.float32)
-    tm = np.ones((Q, L), bool)
+    vid = rng.randn(V, cv, T).astype(np.float32)
+    shallow = rng.randn(V, cv, T).astype(np.float32)
+    vm = np.ones((V, T), bool)
+    text = rng.randn(V * Q, ct, L).astype(np.float32)
+    tcls = rng.randn(V * Q, cv).astype(np.float32)
+    tm = np.ones((V * Q, L), bool)
 
     import jax.random as jrandom
     params = model.init(jrandom.PRNGKey(0),
-                        np.repeat(vid, Q, 0), np.repeat(shallow, Q, 0),
-                        np.repeat(vm, Q, 0), text, tcls, tm,
+                        vid[:1], shallow[:1], vm[:1],
+                        text[:1], tcls[:1], tm[:1],
                         deterministic=True)["params"]
 
-    lens = fpn_lengths(T // cfg.model.vid_stride, cfg.model.num_fpn_levels)
+    lens = fpn_lengths(T // cfg.model.vid_stride,
+                       cfg.model.num_fpn_levels)
     points_np = np.concatenate(select_points(
         generate_points(max(cfg.pt_gen.max_seq_len, T * 4),
                         cfg.pt_gen.num_fpn_levels,
@@ -179,29 +186,37 @@ def main():
     # matmuls run bf16-reduced and the timing would overstate the fp32 path
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    Q, T = 8, 2304
+    V, Q, T = 8, 8, 2304
     clip_stride, fps = 16, 30.0
     cfg = build()
 
-    check_pallas_kernel()  # re-validate the fused kernel on this backend
+    # re-validate the fused kernel on this backend at BOTH live shapes: the
+    # NLQ scale (XLA-dispatched) and the MAD scale where 'auto' actually
+    # dispatches Pallas (T >= PALLAS_MIN_T; Mosaic failure modes on this
+    # toolchain are shape-dependent)
+    check_pallas_kernel(T=2304)
+    check_pallas_kernel(T=32768)
 
-    decode, args = make_decode_fn(cfg, Q, T)
-    t_batched = timed(decode, args)
+    # steady-state amortized throughput, the framework's production shape:
+    # V same-bucket videos x Q queries per jitted call, >= 32 queued calls
+    decode, args = make_decode_fn(cfg, Q, T, V)
+    t_batched = timed(decode, args, warmup=4, iters=48)
 
-    # reference eval structure: one query at a time, video re-encoded per
-    # query -> Q sequential single-query programs
-    decode1, args1 = make_decode_fn(cfg, 1, T)
-    t_one = timed(decode1, args1)
-    t_sequential = t_one * Q
+    # reference eval structure: one video, one query at a time, the video
+    # re-encoded per query -> V*Q sequential single-row programs with the
+    # identical queueing + device_get sync
+    decode1, args1 = make_decode_fn(cfg, 1, T, 1)
+    t_one = timed(decode1, args1, warmup=4, iters=64)
+    t_sequential = t_one * V * Q
 
-    video_seconds = T * clip_stride / fps  # seconds of video per program
-    value = video_seconds / t_batched      # per chip (single-chip bench)
+    video_seconds = V * T * clip_stride / fps  # video seconds per call
+    value = video_seconds / t_batched          # per chip (single-chip bench)
     baseline = video_seconds / t_sequential
     print(json.dumps({
         "metric": "video_sec_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "video-seconds/sec/chip (ground+decode over precomputed "
-                "features, Q=8 queries)",
+                "features, V=8 videos x Q=8 queries batched per call)",
         "vs_baseline": round(value / baseline, 2),
     }))
 

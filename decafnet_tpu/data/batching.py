@@ -166,8 +166,17 @@ def batchify_train(samples, input_vid_len, max_text_len, max_num_text):
     }
 
 
-def batchify_eval(sample, chunk, base_len, vid_stride=1, query_cap=32):
+def batchify_eval(sample, chunk, base_len, vid_stride=1, query_cap=32,
+                  text_len_cap=None):
     """Assemble per-video eval batches, chunking queries to <= query_cap.
+
+    ``text_len_cap`` (set to text_net.max_seq_len when the text net uses an
+    absolute PE): padding a query past the PE table length would trigger
+    eval-time PE interpolation in the text net, changing PE values at VALID
+    token positions -- so the pow-2 bucket is capped there. Queries actually
+    longer than the cap are rejected loudly rather than silently diverging
+    from the reference (which processes each query unpadded at its own
+    length, libs/worker_v2.py:940-955).
 
     Returns (meta, chunks) where each chunk is a dict:
       vid (1, Cv, T), shallow_vid (1, Cs, T), vid_masks (1, T),
@@ -190,7 +199,14 @@ def batchify_eval(sample, chunk, base_len, vid_stride=1, query_cap=32):
     # pow-2 text-length bucket: one jitted decode program per (T, Q, L)
     # bucket instead of one per distinct token count (padded tokens are
     # masked and numerically inert through the text net)
-    L = bucket_pow2(max(tok.shape[1] for tok in texts))
+    max_tok = max(tok.shape[1] for tok in texts)
+    L = bucket_pow2(max_tok)
+    if text_len_cap is not None:
+        assert max_tok <= text_len_cap, (
+            f"query of {max_tok} tokens exceeds the text net's absolute-PE "
+            f"table ({text_len_cap}); eval-time text PE interpolation under "
+            f"length bucketing is unsupported")
+        L = min(L, int(text_len_cap))
     ext = sample.get("ext_scores")
 
     chunks = []

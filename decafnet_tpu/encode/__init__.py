@@ -22,6 +22,12 @@ from .pipeline import (
     expert_budget,
     select_salient_clips,
 )
+from .spacetime_vit import SpaceTimeViT
+from .import_vit import (
+    load_vit_checkpoint,
+    normalize_vit_key,
+    vit_state_dict_to_params,
+)
 
 __all__ = [
     "IMAGENET_MEAN",
@@ -42,4 +48,8 @@ __all__ = [
     "encode_delegate_ground",
     "expert_budget",
     "select_salient_clips",
+    "SpaceTimeViT",
+    "load_vit_checkpoint",
+    "normalize_vit_key",
+    "vit_state_dict_to_params",
 ]

@@ -35,17 +35,35 @@ def _linspace_half_pixel(out_size, in_size):
     return np.clip(pos, 0, in_size - 1)
 
 
-def resize_bilinear(x, out_h, out_w):
+def resize_bilinear(x, out_h, out_w, antialias=False):
     """Bilinear resize of the (H, W) axes of ``(..., H, W, C)``.
 
     Implemented as two one-hot interpolation MATMULS (rows then columns):
     the interpolation weights are trace-time numpy constants, so the whole
     resize runs on the MXU with no gathers -- the TPU-native formulation of
     torch F.interpolate(bilinear, align_corners=False).
+
+    ``antialias=True`` matches torch/torchvision ``antialias=True`` (the
+    PIL-compatible path: triangle filter whose support scales with the
+    downsampling factor, taps clipped to the image and re-normalized).
+    Modern torchvision pins default tensor-input Resize to antialias=True,
+    so real offline EgoVLP features may have been produced either way; both
+    variants are provided and oracle-tested (tests/test_encode.py).
     """
     in_h, in_w = x.shape[-3], x.shape[-2]
 
     def weight_matrix(out_size, in_size):
+        scale = in_size / out_size
+        if antialias and scale > 1.0:
+            # triangle (bilinear) kernel stretched by the scale factor,
+            # normalized over in-bounds taps -- exactly PIL / torch
+            # antialias downsampling
+            pos = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+            j = np.arange(in_size, dtype=np.float64)
+            m = np.clip(1.0 - np.abs(j[None, :] - pos[:, None]) / scale,
+                        0.0, None)
+            m /= m.sum(axis=1, keepdims=True)
+            return m.astype(np.float32)
         pos = _linspace_half_pixel(out_size, in_size)
         lo = np.floor(pos).astype(np.int64)
         hi = np.minimum(lo + 1, in_size - 1)
@@ -62,7 +80,7 @@ def resize_bilinear(x, out_h, out_w):
     return x
 
 
-def resize_short_side(x, size):
+def resize_short_side(x, size, antialias=False):
     """torchvision Resize(int): scale the SHORT side to ``size`` keeping
     aspect ratio (output dims floor like torchvision's int arithmetic)."""
     h, w = x.shape[-3], x.shape[-2]
@@ -70,7 +88,7 @@ def resize_short_side(x, size):
         out_h, out_w = size, max(1, int(size * w / h))
     else:
         out_h, out_w = max(1, int(size * h / w)), size
-    return resize_bilinear(x, out_h, out_w)
+    return resize_bilinear(x, out_h, out_w, antialias=antialias)
 
 
 def center_crop(x, size):
@@ -96,11 +114,16 @@ def normalize(x, mean=IMAGENET_MEAN, std=IMAGENET_STD):
 
 
 def eval_transform(x, center=256, input_res=224,
-                   mean=IMAGENET_MEAN, std=IMAGENET_STD):
-    """The reference val/test pipeline (egovlp_transforms.py:20-30)."""
-    x = resize_short_side(x, center)
+                   mean=IMAGENET_MEAN, std=IMAGENET_STD, antialias=False):
+    """The reference val/test pipeline (egovlp_transforms.py:20-30).
+
+    ``antialias`` selects between the two torchvision Resize behaviors
+    (tensor-path no-antialias at older pins vs antialias=True at modern
+    pins); verify against the pin that produced the target features before
+    importing real encoder weights."""
+    x = resize_short_side(x, center, antialias=antialias)
     x = center_crop(x, center)
-    x = resize_bilinear(x, input_res, input_res)
+    x = resize_bilinear(x, input_res, input_res, antialias=antialias)
     return normalize(x, mean, std)
 
 

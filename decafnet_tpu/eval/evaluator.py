@@ -60,8 +60,21 @@ class Evaluator:
         self.train_time = train_time
 
         self.dataset = make_dataset(cfg, is_training=False)
+        # multi-process eval: each process evaluates its own rank-strided
+        # video shard with its local devices (loading ONLY that shard --
+        # the rank shard is applied before any feature IO), then the
+        # RecallMeter counts and loss sums are allgathered before the table.
+        # Exceeds the reference, whose Evaluator is strictly bs=1
+        # single-process (libs/worker_v2.py:739).
+        n_proc = jax.process_count()
+        self.shard_proc = (n_proc > 1
+                           and bool(cfg.eval.get("shard_processes", True)))
+        rank = jax.process_index() if self.shard_proc else 0
+        world = n_proc if self.shard_proc else 1
+        self.proc_rank, self.proc_world = rank, world
         self.loader = DataLoader(self.dataset, batch_size=1, shuffle=False,
-                                 drop_last=False,
+                                 drop_last=False, rank=rank,
+                                 world_size=world,
                                  num_threads=cfg.train.num_workers)
 
         self.model = make_model(cfg)
@@ -89,12 +102,18 @@ class Evaluator:
         self.pre_nms_thresh = cfg.eval.pre_nms_thresh
         self.seg_len_thresh = cfg.eval.seg_len_thresh
         self.query_cap = cfg.eval.get("max_num_queries", 32)
+        # with an absolute text PE, padding a query past the PE table length
+        # would trigger eval-time PE interpolation at VALID token positions
+        # (see batchify_eval); cap the pow-2 text-length bucket there
+        self.text_len_cap = (cfg.model.text_net.max_seq_len
+                             if cfg.model.text_net.get("use_abs_pe")
+                             else None)
         self.reference_exact = bool(cfg.eval.get("reference_exact", False))
         self.nms_cfg = dict(cfg.nms)
 
         root = cfg.aux.logdir
         tag = cfg.aux.get("ckpt", "eval")
-        if root and not train_time:
+        if root and not train_time and self.proc_rank == 0:
             os.makedirs(root, exist_ok=True)
             self.logger = Logger(os.path.join(root, f"eval_{tag}.txt"))
         else:
@@ -250,7 +269,7 @@ class Evaluator:
         t_prep = time.perf_counter()
         meta, chunks = batchify_eval(
             sample, self.chunk, self.base_len, self.vid_stride,
-            self.query_cap)
+            self.query_cap, text_len_cap=self.text_len_cap)
         self.time_dict["prepare"].append(time.perf_counter() - t_prep)
 
         items = []
@@ -444,6 +463,36 @@ class Evaluator:
         if dump is not None:
             dump.add_video(meta["clip_id"], targets_sec, results, losses)
 
+    def _allreduce_eval(self, loss_list):
+        """Combine per-process shard results into the global table: the
+        RecallMeter count matrix, text count, and per-key loss sums/counts
+        travel as ONE tiny allgathered vector; every process ends with the
+        identical global metrics (process 0 writes the table). Returns a
+        single-dict loss list whose means are the global means."""
+        from jax.experimental import multihost_utils
+
+        keys = ("cls_loss", "reg_loss")
+        sums = np.zeros(len(keys))
+        cnts = np.zeros(len(keys))
+        for d in loss_list:
+            for i, k in enumerate(keys):
+                v = d.get(k, np.nan)
+                if np.isfinite(v):
+                    sums[i] += v
+                    cnts[i] += 1
+        payload = np.concatenate([
+            self.meter.counts.ravel().astype(np.float64),
+            [float(self.meter.text_cnt)], sums, cnts])
+        gathered = np.asarray(multihost_utils.process_allgather(payload))
+        total = gathered.sum(axis=0)
+        nc = self.meter.counts.size
+        self.meter.counts = total[:nc].reshape(self.meter.counts.shape)
+        self.meter.text_cnt = int(round(total[nc]))
+        g_sums = total[nc + 1:nc + 1 + len(keys)]
+        g_cnts = total[nc + 1 + len(keys):]
+        return [{k: (g_sums[i] / g_cnts[i] if g_cnts[i] else float("nan"))
+                 for i, k in enumerate(keys)}]
+
     def run(self, ema_params=None, tag=None):
         params = ema_params if ema_params is not None else self.params
         assert params is not None, "no parameters to evaluate"
@@ -462,6 +511,15 @@ class Evaluator:
         # (libs/worker_v2.py:739). shard_videos = 0/1 disables.
         V = int(self.cfg.eval.get("shard_videos") or 1)
         if V > 1 and self.mesh is not None:
+            n_data = self.mesh.shape["data"]
+            assert V % n_data == 0, (
+                f"eval.shard_videos={V} must be a multiple of the mesh data "
+                f"axis ({n_data} devices), so every device decodes whole "
+                f"videos (the stacked batch is sharded on the row axis)")
+            assert jax.process_count() == 1, (
+                "eval.shard_videos shards over this process's mesh devices; "
+                "under multi-process jax.distributed use "
+                "eval.shard_processes instead (per-process video sharding)")
             params = jax.device_put(params, replicated(self.mesh))
             self._run_sharded(params, V, loss_list, dump)
         else:
@@ -472,10 +530,13 @@ class Evaluator:
                 if self.cfg.aux.dryrun:
                     break
         if dump is not None and self.cfg.aux.logdir:
-            dump.save(os.path.join(
-                self.cfg.aux.logdir,
-                f"results_{tag or self.cfg.aux.get('ckpt', 'eval')}.pk"))
+            name = f"results_{tag or self.cfg.aux.get('ckpt', 'eval')}.pk"
+            if self.shard_proc:  # per-process shard of the detections
+                name += f".r{self.proc_rank}"
+            dump.save(os.path.join(self.cfg.aux.logdir, name))
 
+        if self.shard_proc:
+            loss_list = self._allreduce_eval(loss_list)
         metrics, table = self.meter.table()
         log_str = "\nFinal:\n" + table + "\n-----\n"
         if loss_list:

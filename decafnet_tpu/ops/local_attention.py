@@ -31,6 +31,8 @@ masked, max-subtracted softmax whose fully-masked rows are zeroed.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -144,8 +146,8 @@ def band_attention_reference(q, k, v, kv_mask, window_size):
 # ---------------------------------------------------------------------------
 
 
-def band_attention_pallas(q, k, v, kv_mask, window_size, chunk=DEFAULT_CHUNK,
-                          interpret=False):
+def _band_attention_pallas_impl(q, k, v, kv_mask, window_size,
+                                chunk=DEFAULT_CHUNK, interpret=False):
     """Fused Pallas TPU kernel computing the same banded attention.
 
     Grid: (B, n_chunks). Overlapping neighborhoods are assembled from three
@@ -263,6 +265,51 @@ def band_attention_pallas(q, k, v, kv_mask, window_size, chunk=DEFAULT_CHUNK,
     out = out[:, :, :T]
     qmask = kv_mask[:, None, :T, None].astype(out.dtype)
     return out * qmask
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _band_attention_pallas_vjp(q, k, v, kv_mask, window_size, chunk,
+                               interpret):
+    return _band_attention_pallas_impl(q, k, v, kv_mask, window_size,
+                                       chunk=chunk, interpret=interpret)
+
+
+def _band_pallas_fwd(q, k, v, kv_mask, window_size, chunk, interpret):
+    out = _band_attention_pallas_impl(q, k, v, kv_mask, window_size,
+                                      chunk=chunk, interpret=interpret)
+    return out, (q, k, v, kv_mask)
+
+
+def _band_pallas_bwd(window_size, chunk, interpret, res, g):
+    q, k, v, kv_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: band_attention_xla(q_, k_, v_, kv_mask,
+                                              window_size, chunk=chunk),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    # boolean mask cotangent: float0 (non-differentiable input)
+    dmask = np.zeros(kv_mask.shape, jax.dtypes.float0)
+    return dq, dk, dv, dmask
+
+
+_band_attention_pallas_vjp.defvjp(_band_pallas_fwd, _band_pallas_bwd)
+
+
+def band_attention_pallas(q, k, v, kv_mask, window_size, chunk=DEFAULT_CHUNK,
+                          interpret=False):
+    """Differentiable fused Pallas band attention.
+
+    Mosaic kernels have no reverse-mode rule, so the kernel is wrapped in a
+    ``custom_vjp``: the forward runs the fused kernel; the backward
+    recomputes through the XLA chunked formulation (numerically identical
+    to <2e-6, see tests/test_local_attention.py) and takes its VJP. This is
+    effectively rematerialization -- no residuals besides the inputs are
+    saved -- which is exactly the memory profile long-sequence (MAD 32k)
+    training wants. Without this, ``jax.grad`` through the auto-dispatched
+    Pallas path (T >= PALLAS_MIN_T on TPU) crashed with "Linearization
+    failed" (round-2 VERDICT item 2)."""
+    return _band_attention_pallas_vjp(q, k, v, kv_mask, window_size,
+                                      int(chunk), bool(interpret))
 
 
 _BACKEND = "auto"

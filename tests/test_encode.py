@@ -40,6 +40,22 @@ def test_resize_bilinear_vs_torch(in_hw, out_hw):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("in_hw,out_hw", [
+    ((64, 64), (16, 16)), ((37, 53), (24, 24)), ((48, 96), (24, 48)),
+    ((16, 16), (32, 32))])  # upsampling: antialias is a no-op, lerp path
+def test_resize_bilinear_antialias_vs_torch(in_hw, out_hw):
+    """antialias=True == torch F.interpolate(bilinear, antialias=True), the
+    behavior of modern torchvision tensor-input Resize (ADVICE round 2)."""
+    x = RNG.rand(2, *in_hw, 3).astype(np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), *out_hw,
+                                     antialias=True))
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = F.interpolate(tx, size=out_hw, mode="bilinear",
+                         align_corners=False, antialias=True)
+    want = want.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_resize_short_side_aspect():
     x = RNG.rand(1, 30, 60, 3).astype(np.float32)
     y = resize_short_side(jnp.asarray(x), 256)

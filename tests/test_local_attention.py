@@ -84,3 +84,58 @@ def test_band_attention_pallas_interpret(t, chunk):
         5, chunk=chunk, interpret=True))
     want = torch_band_oracle(q, k, v, mask, 5)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_band_attention_pallas_grad_matches_xla():
+    """jax.grad through the Pallas kernel (custom_vjp: fused forward, XLA
+    recompute backward) must equal the pure-XLA gradients. Round-2 VERDICT
+    item 2: this previously crashed with 'Linearization failed'."""
+    import jax
+
+    q, k, v, mask = _inputs(t=96)
+    args = tuple(map(jnp.asarray, (q, k, v)))
+    m = jnp.asarray(mask)
+
+    def loss_pallas(q, k, v):
+        out = band_attention_pallas(q, k, v, m, 5, chunk=32, interpret=True)
+        return jnp.sum(out * out)
+
+    def loss_xla(q, k, v):
+        out = band_attention_xla(q, k, v, m, 5, chunk=32)
+        return jnp.sum(out * out)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(*args)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(*args)
+    # the ~1e-6 forward difference between the kernels enters the cotangent
+    # of the quadratic loss, so gradient agreement is ~1e-5-scale, not exact
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_band_attention_grad_at_pallas_dispatch_scale():
+    """The advertised MAD-scale training path: differentiate the Pallas
+    kernel at T >= PALLAS_MIN_T (where 'auto' dispatches to it on TPU).
+    Interpret mode on CPU reproduced the round-2 crash at this scale."""
+    import jax
+    from decafnet_tpu.ops.local_attention import PALLAS_MIN_T
+
+    t = PALLAS_MIN_T
+    b, h, d = 1, 2, 16
+    q = RNG.randn(b, h, t, d).astype(np.float32)
+    k = RNG.randn(b, h, t, d).astype(np.float32)
+    v = RNG.randn(b, h, t, d).astype(np.float32)
+    mask = np.ones((b, t), bool)
+    mask[0, t - 300:] = False
+    args = tuple(map(jnp.asarray, (q, k, v)))
+    m = jnp.asarray(mask)
+
+    def loss(q, k, v):
+        out = band_attention_pallas(q, k, v, m, 5, interpret=True)
+        return jnp.sum(out * out)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+    # gradients through padded key/query rows must be exactly zero
+    assert np.all(np.asarray(grads[0])[0, :, t - 300:] == 0)
