@@ -11,12 +11,18 @@ production: V same-bucket videos x Q queries stacked into one jitted call
 overhead amortizes the same way it does in a real eval stream.
 
 ``vs_baseline`` is the speedup over the reference's evaluation STRUCTURE on
-the same chip: the reference evaluates one video at a time and loops queries
-in Python, re-encoding the video once per query (reference:
-libs/modeling/model.py:480-565, libs/worker_v2.py:940-955), so the baseline
-runs the identical compiled pipeline with one video x one query per call,
-V*Q sequential calls, identically queued and synced. This isolates the gain
-of the TPU-native batched design from raw hardware differences.
+the same chip, at the same precision: the reference evaluates one video at
+a time, loops queries in Python re-encoding the video once per query
+(libs/modeling/model.py:480-565, libs/worker_v2.py:940-955), moves the
+dense logits/offsets to the HOST per query, and runs its C++ SoftNMS there
+(libs/worker_v2.py:1022-1127 `.cpu()` + libs/nms). The baseline therefore
+runs one video x one query per call through the identical compiled
+pipeline, fetches the dense candidate tensors to the host each call, and
+runs this repo's C++ host NMS (ops/native/nms1d.cpp, bit-parity-tested
+against the reference's) -- V*Q sequential, synced per query exactly as the
+reference's dataflow forces. This isolates the gains of the TPU-native
+structure (query batching, fused on-device NMS, detections-only output)
+from raw hardware differences.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -102,12 +108,11 @@ def make_decode_fn(cfg, Q, T, V=1):
 
     @jax.jit
     def decode(params, vid, shallow, vm, text, tcls, tm, points_t):
-        vid_q = jnp.repeat(vid, Q, axis=0)
-        shallow_q = jnp.repeat(shallow, Q, axis=0)
-        vm_q = jnp.repeat(vm, Q, axis=0)
+        # video-major call: per-video work (the vid_map projection) runs
+        # once per video; the model expands to V*Q rows internally
         _, logits2, offsets, masks = model.apply(
-            {"params": params}, vid_q, shallow_q, vm_q, text, tcls, tm,
-            deterministic=True)
+            {"params": params}, vid, shallow, vm, text, tcls, tm,
+            deterministic=True, queries_per_video=Q)
         scores = jnp.concatenate(
             [jax.nn.sigmoid(l) * m for l, m in zip(logits2, masks)], axis=1)
         offs = jnp.concatenate(offsets, axis=2)       # (Q, 2, P)
@@ -133,6 +138,100 @@ def make_decode_fn(cfg, Q, T, V=1):
     return decode, args
 
 
+def make_reference_decode_fn(cfg, T):
+    """The reference-structure per-query program: one video x one query,
+    returning the DENSE candidate tensors (left, right, scores, valid) the
+    reference ships to the CPU for host NMS (libs/worker_v2.py:1022-1127)."""
+    import jax
+    import jax.numpy as jnp
+    from decafnet_tpu.models import (fpn_lengths, generate_points,
+                                     select_points, make_model)
+
+    model = make_model(cfg)
+    rng = np.random.RandomState(0)
+    L = cfg.data.max_text_len
+    cv, ct = cfg.model.vid_net.in_dim, cfg.model.text_net.in_dim
+    vid = rng.randn(1, cv, T).astype(np.float32)
+    shallow = rng.randn(1, cv, T).astype(np.float32)
+    vm = np.ones((1, T), bool)
+    text = rng.randn(1, ct, L).astype(np.float32)
+    tcls = rng.randn(1, cv).astype(np.float32)
+    tm = np.ones((1, L), bool)
+    import jax.random as jrandom
+    params = model.init(jrandom.PRNGKey(0), vid, shallow, vm, text, tcls,
+                        tm, deterministic=True)["params"]
+
+    lens = fpn_lengths(T // cfg.model.vid_stride,
+                       cfg.model.num_fpn_levels)
+    points_np = np.concatenate(select_points(
+        generate_points(max(cfg.pt_gen.max_seq_len, T * 4),
+                        cfg.pt_gen.num_fpn_levels,
+                        cfg.pt_gen.regression_range, cfg.pt_gen.sigma),
+        lens))
+    points_t = jax.device_put(np.ascontiguousarray(points_np.T))
+    topk = min(cfg.eval.pre_nms_topk, points_np.shape[0])
+
+    @jax.jit
+    def decode_ref(params, vid, shallow, vm, text, tcls, tm, points_t):
+        _, logits2, offsets, masks = model.apply(
+            {"params": params}, vid, shallow, vm, text, tcls, tm,
+            deterministic=True)
+        scores = jnp.concatenate(
+            [jax.nn.sigmoid(l) * m for l, m in zip(logits2, masks)], axis=1)
+        offs = jnp.concatenate(offsets, axis=2)
+        valid = scores > cfg.eval.pre_nms_thresh
+        ranked = jnp.where(valid, scores, -1.0)
+        kth = jax.lax.top_k(ranked, topk)[0][:, -1:]
+        valid = valid & (scores >= kth)
+        ctr = points_t[0][None]
+        stride = points_t[3][None]
+        left = ctr - offs[:, 0, :] * stride
+        right = ctr + offs[:, 1, :] * stride
+        valid = valid & ((right - left) > cfg.eval.seg_len_thresh)
+        return left, right, jnp.where(valid, scores, 0.0), valid
+
+    args = (params, jnp.asarray(vid), jnp.asarray(shallow), jnp.asarray(vm),
+            jnp.asarray(text), jnp.asarray(tcls), jnp.asarray(tm), points_t)
+    return decode_ref, args
+
+
+def timed_reference(decode_ref, args, nms_cfg, warmup=3, iters=64):
+    """Per-query wall time of the reference dataflow: device forward + C++
+    host SoftNMS + voting on the fetched dense candidates.
+
+    Deliberately CONSERVATIVE (favors the baseline): the forward is timed
+    with the same queued dispatch as the batched side, so the reference's
+    mandatory per-query host sync (`.cpu()`) is charged at ZERO -- over this
+    harness's axon tunnel a true per-call sync measures ~37 ms/query, a
+    tunnel artifact a local runtime would not pay (~0.1 ms). Only the host
+    NMS stage -- which the reference structurally must run per query -- is
+    added, measured on the actually fetched candidate set."""
+    import jax
+    from decafnet_tpu.ops.nms import batched_nms_host
+
+    t_fwd = timed(decode_ref, args, warmup=warmup, iters=iters)
+
+    left, right, scores, valid = (
+        np.asarray(x) for x in jax.device_get(decode_ref(*args)))
+    m = valid[0]
+    segs = np.stack([left[0][m], right[0][m]], axis=-1)
+    sc = scores[0][m]
+
+    def host_nms():
+        return batched_nms_host(
+            segs, sc, iou_thresh=nms_cfg["iou_thresh"],
+            min_score=nms_cfg["min_score"],
+            max_num_segs=nms_cfg["max_num_segs"], mode=nms_cfg["mode"],
+            sigma=nms_cfg["sigma"], voting_thresh=nms_cfg["voting_thresh"])
+
+    host_nms()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        host_nms()
+    t_nms = (time.perf_counter() - t0) / iters
+    return t_fwd + t_nms
+
+
 def check_pallas_kernel(T=2304, heads=4, dim=32, window=5):
     """Assert the fused Pallas band-attention kernel matches the XLA
     formulation on a live benchmark shape, on THIS backend. Real-Mosaic
@@ -141,7 +240,8 @@ def check_pallas_kernel(T=2304, heads=4, dim=32, window=5):
     re-validates the kernel here before any timing is reported."""
     import jax
     import jax.numpy as jnp
-    from decafnet_tpu.ops.local_attention import (band_attention_pallas,
+    from decafnet_tpu.ops.local_attention import (band_attention_diag,
+                                                  band_attention_pallas,
                                                   band_attention_xla)
 
     rng = np.random.RandomState(0)
@@ -152,12 +252,21 @@ def check_pallas_kernel(T=2304, heads=4, dim=32, window=5):
     mask[1, T - 100:] = False
     mask = jnp.asarray(mask)
 
-    out_p = jax.jit(lambda *a: band_attention_pallas(*a, window))(q, k, v,
-                                                                  mask)
-    out_x = jax.jit(lambda *a: band_attention_xla(*a, window))(q, k, v, mask)
+    # the comparison validates KERNEL correctness, so all three paths run
+    # at HIGHEST (the Mosaic kernel pins its dots there; comparing against
+    # bf16x3 XLA matmuls would measure precision policy, not the kernel)
+    with jax.default_matmul_precision("highest"):
+        out_p = jax.jit(lambda *a: band_attention_pallas(*a, window))(
+            q, k, v, mask)
+        out_x = jax.jit(lambda *a: band_attention_xla(*a, window))(
+            q, k, v, mask)
+        out_d = jax.jit(lambda *a: band_attention_diag(*a, window))(
+            q, k, v, mask)
     err = float(jnp.max(jnp.abs(out_p - out_x)))
     assert err < 5e-5, f"pallas != xla on live shape (max |diff| = {err})"
-    return err
+    err_d = float(jnp.max(jnp.abs(out_d - out_x)))
+    assert err_d < 5e-5, f"diag != xla on live shape (max |diff| = {err_d})"
+    return max(err, err_d)
 
 
 def timed(fn, args, warmup=4, iters=64):
@@ -182,9 +291,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/decafnet_tpu/xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    # match the CLIs (cfg.tpu.matmul_precision default): without this, TPU
-    # matmuls run bf16-reduced and the timing would overstate the fp32 path
-    jax.config.update("jax_default_matmul_precision", "highest")
+    # match the CLIs (cfg.tpu.matmul_precision default "high" = bf16x3,
+    # TF32-class accuracy -- the same class the reference's cudnn convs use
+    # on A100, where allow_tf32 defaults on). Applied to BOTH sides.
+    jax.config.update("jax_default_matmul_precision", "high")
 
     V, Q, T = 8, 8, 2304
     clip_stride, fps = 16, 30.0
@@ -198,15 +308,16 @@ def main():
     check_pallas_kernel(T=32768)
 
     # steady-state amortized throughput, the framework's production shape:
-    # V same-bucket videos x Q queries per jitted call, >= 32 queued calls
+    # V same-bucket videos x Q queries per jitted call (fused on-device
+    # decode + SoftNMS, detections-only output), >= 32 queued calls
     decode, args = make_decode_fn(cfg, Q, T, V)
     t_batched = timed(decode, args, warmup=4, iters=48)
 
-    # reference eval structure: one video, one query at a time, the video
-    # re-encoded per query -> V*Q sequential single-row programs with the
-    # identical queueing + device_get sync
-    decode1, args1 = make_decode_fn(cfg, 1, T, 1)
-    t_one = timed(decode1, args1, warmup=4, iters=64)
+    # reference eval structure: one video x one query per call, dense
+    # candidates fetched to the HOST each call and C++ SoftNMS run there
+    # (the reference's .cpu() + libs/nms dataflow) -> V*Q sequential
+    decode_ref, args_ref = make_reference_decode_fn(cfg, T)
+    t_one = timed_reference(decode_ref, args_ref, dict(cfg.nms))
     t_sequential = t_one * V * Q
 
     video_seconds = V * T * clip_stride / fps  # video seconds per call
@@ -216,7 +327,9 @@ def main():
         "metric": "video_sec_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "video-seconds/sec/chip (ground+decode over precomputed "
-                "features, V=8 videos x Q=8 queries batched per call)",
+                "features, V=8 videos x Q=8 queries batched per call with "
+                "on-device NMS; baseline = reference per-query host-NMS "
+                "structure, same chip + precision)",
         "vs_baseline": round(value / baseline, 2),
     }))
 

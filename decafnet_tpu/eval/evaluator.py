@@ -191,13 +191,13 @@ class Evaluator:
         def decode(params, vid, shallow, vid_masks, text, text_cls,
                    text_masks, q_valid, ext_scores, targets, points_t,
                    pe_interp):
-            vid_q = jnp.repeat(vid, Q, axis=0)
-            shallow_q = jnp.repeat(shallow, Q, axis=0)
-            vmask_q = jnp.repeat(vid_masks, Q, axis=0)
+            # video-major call: the model expands V videos to V*Q query
+            # rows internally, hoisting per-video work (vid_map) out of
+            # the per-row batch (models/decafnet.py)
             _, logits2, offsets, masks = model.apply(
-                {"params": params}, vid_q, shallow_q, vmask_q,
+                {"params": params}, vid, shallow, vid_masks,
                 text, text_cls, text_masks, deterministic=True,
-                pe_interp=pe_interp)
+                pe_interp=pe_interp, queries_per_video=Q)
 
             # per-level scores with optional external score modulation
             # (reference: libs/worker_v2.py:1142-1156)

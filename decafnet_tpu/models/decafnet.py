@@ -25,10 +25,11 @@ from __future__ import annotations
 from typing import Any, Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..nn.blocks import MaskedConv1D
-from ..ops.delegation import delegate
+from ..ops.delegation import delegate, delegation_weights
 from ..ops.masked import interpolate_nearest_1d, masked_max_pool1d
 from .fusion import make_fusion
 from .heads import make_head
@@ -121,23 +122,108 @@ class DeCafNetIterative(nn.Module):
         fpn_offsets, out_masks = self.reg_head(new_fpn, fpn_masks)
         return fpn_logits, fpn_logits2, fpn_offsets, out_masks
 
-    def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
-                 text_masks, deterministic=True, pe_interp=None):
+    def _delegate_project_grouped(self, vid, shallow_vid, vid_masks,
+                                  text_cls, Q):
+        """Video-major delegation + vid_map for eval batches of V videos x
+        Q query rows.
+
+        The binary delegation weight broadcasts over channels, so it
+        COMMUTES with the 1x1 ``vid_map`` projection:
+          W_e @ (vid * w) + W_s @ shallow + b
+            == w * (W_e @ vid) + (W_s @ shallow) + b.
+        The expensive 2C->embd projection therefore runs once per VIDEO (V
+        rows) instead of once per query row (V*Q rows), and the Q-fold row
+        expansion happens at embd_dim channels -- a structural optimization
+        the reference's per-query eval loop cannot express
+        (libs/modeling/model.py:526-563 re-encodes the video per query).
+        Mathematically identical to delegate() -> vid_map(); floating-point
+        reassociation only (tested to 1e-5 in tests/test_grouped_eval.py).
+
+        Returns per-row (vid_rows, mask_rows) ready for fusion.
+        """
         m = self.cfg
-        # delegation (saliency + binary weights) always in fp32
-        vid, vid_masks, _ = delegate(
-            vid, shallow_vid, vid_masks, text_cls,
-            sn=m.get("sn", 60), ratio=m.get("sratio", 0.0),
-            normalize=m.get("norm", False),
-            msf=m.get("msf", False), scat=m.get("scat", False),
-            sfonly=m.get("sfonly", False) and deterministic)
+        V, _, T = vid.shape
+        embd = self.vid_map.conv.weight.shape[0]
+        C_exp = m["vid_net"]["in_dim"]
+        C_side = shallow_vid.shape[1]
+
+        # saliency correlation per (video, query) WITHOUT repeating videos
+        sv, tc = shallow_vid, text_cls.reshape(V, Q, C_side)
+        if m.get("norm", False):
+            sv = sv / (jnp.linalg.norm(sv, axis=1, keepdims=True) + 1e-4)
+            tc = tc / (jnp.linalg.norm(tc, axis=2, keepdims=True) + 1e-4)
+        correl = jnp.einsum("vct,vqc->vqt", sv, tc,
+                            preferred_element_type=jnp.float32) \
+            .reshape(V * Q, T)
+        mask_rows = jnp.repeat(vid_masks, Q, axis=0)
+        weight = delegation_weights(correl, mask_rows,
+                                    m.get("sn", 60), m.get("sratio", 0.0))
+
+        dtype = self.compute_dtype or vid.dtype
+        mask_f = vid_masks[:, None, :].astype(dtype)
+        W = self.vid_map.conv.weight  # (embd, in_total, 1)
+        bias = self.vid_map.conv.bias
+
+        def proj(x, w_block):
+            return jax.lax.conv_general_dilated(
+                x.astype(dtype) * mask_f, w_block.astype(dtype), (1,),
+                [(0, 0)], dimension_numbers=("NCH", "OIH", "NCH"))
+
+        a = proj(vid, W[:, :C_exp])                    # (V, embd, T)
+        w_rows = weight.reshape(V, Q, 1, T).astype(dtype)
+        if m.get("msf", False):
+            b_ = proj(shallow_vid, W[:, C_exp:C_exp + C_side])
+            rows = a[:, None] * w_rows + b_[:, None]
+        else:
+            rows = a[:, None] * w_rows
+            mask_rows = (weight > 0) & mask_rows
+        rows = rows.reshape(V * Q, embd, T)
+        if m.get("scat", False):
+            # the correlation channel is masked by the PER-ROW mask (which
+            # includes the (w>0) gating in the non-msf case), exactly like
+            # the unfused MaskedConv1D input multiply
+            w_scat = W[:, -1, 0].astype(dtype)         # (embd,)
+            corr_rows = correl.astype(dtype) * mask_rows.astype(dtype)
+            rows = rows + w_scat[None, :, None] * corr_rows[:, None, :]
+        if bias is not None:
+            rows = rows + bias.astype(dtype)[None, :, None]
+        return rows, mask_rows[:, None, :]
+
+    def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
+                 text_masks, deterministic=True, pe_interp=None,
+                 queries_per_video=1):
+        """``queries_per_video`` > 1 activates the video-major eval path:
+        ``vid``/``shallow_vid``/``vid_masks`` carry V videos while the text
+        inputs carry V*Q rows (row r belongs to video r // Q); per-video
+        work (the vid_map projection) is computed once per video. Only for
+        deterministic (eval) calls; numerics match the per-row path to fp
+        reassociation."""
+        m = self.cfg
+        Q = queries_per_video
+        if Q > 1 and deterministic and not m.get("sfonly", False):
+            vid, vm = self._delegate_project_grouped(
+                vid, shallow_vid, vid_masks, text_cls, Q)
+        else:
+            if Q > 1:  # sfonly or non-deterministic: expand and fall back
+                vid = jnp.repeat(vid, Q, axis=0)
+                shallow_vid = jnp.repeat(shallow_vid, Q, axis=0)
+                vid_masks = jnp.repeat(vid_masks, Q, axis=0)
+            # delegation (saliency + binary weights) always in fp32
+            vid, vid_masks, _ = delegate(
+                vid, shallow_vid, vid_masks, text_cls,
+                sn=m.get("sn", 60), ratio=m.get("sratio", 0.0),
+                normalize=m.get("norm", False),
+                msf=m.get("msf", False), scat=m.get("scat", False),
+                sfonly=m.get("sfonly", False) and deterministic)
+
+            if self.compute_dtype is not None:
+                vid = vid.astype(self.compute_dtype)
+
+            vid = self.channel_drop(vid, deterministic=deterministic)
+            vid, vm = self.vid_map(vid, vid_masks[:, None, :])
 
         if self.compute_dtype is not None:
-            vid = vid.astype(self.compute_dtype)
             text = text.astype(self.compute_dtype)
-
-        vid = self.channel_drop(vid, deterministic=deterministic)
-        vid, vm = self.vid_map(vid, vid_masks[:, None, :])
 
         text_enc, text_mask_enc = self.encode_text(
             text, text_masks, deterministic=deterministic)
@@ -170,8 +256,13 @@ class DeCafNetEarlyFusion(nn.Module):
                                        broadcast_dims=(2,))
 
     def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
-                 text_masks, deterministic=True, pe_interp=None):
+                 text_masks, deterministic=True, pe_interp=None,
+                 queries_per_video=1):
         m = self.cfg
+        if queries_per_video > 1:  # video-major batches: expand to rows
+            vid = jnp.repeat(vid, queries_per_video, axis=0)
+            shallow_vid = jnp.repeat(shallow_vid, queries_per_video, axis=0)
+            vid_masks = jnp.repeat(vid_masks, queries_per_video, axis=0)
         vid, vid_masks, _ = delegate(
             vid, shallow_vid, vid_masks, text_cls,
             sn=m.get("sn", 60), ratio=m.get("sratio", 0.0),
@@ -216,8 +307,13 @@ class DeCafNetLateFusion(nn.Module):
                                        broadcast_dims=(2,))
 
     def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
-                 text_masks, deterministic=True, pe_interp=None):
+                 text_masks, deterministic=True, pe_interp=None,
+                 queries_per_video=1):
         m = self.cfg
+        if queries_per_video > 1:  # video-major batches: expand to rows
+            vid = jnp.repeat(vid, queries_per_video, axis=0)
+            shallow_vid = jnp.repeat(shallow_vid, queries_per_video, axis=0)
+            vid_masks = jnp.repeat(vid_masks, queries_per_video, axis=0)
         vid, vid_masks, _ = delegate(
             vid, shallow_vid, vid_masks, text_cls,
             sn=m.get("sn", 60), ratio=m.get("sratio", 0.0),

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nn.blocks import MaskedConv1D, LayerNorm, Scale, Conv1d
+from ..ops.fused_conv import fused_conv3_ln_act
 
 
 class _PriorBiasConv1d(Conv1d):
@@ -16,9 +17,8 @@ class _PriorBiasConv1d(Conv1d):
     prior p (reference: libs/modeling/head.py:45-51)."""
     prior_prob: float = 0.0
 
-    @nn.compact
-    def __call__(self, x):
-        w = self.param(
+    def setup(self):
+        self.weight = self.param(
             "weight",
             lambda k, s: jax.random.uniform(
                 k, s, jnp.float32,
@@ -28,15 +28,9 @@ class _PriorBiasConv1d(Conv1d):
         bias_init = 0.0
         if self.prior_prob > 0:
             bias_init = -float(np.log((1 - self.prior_prob) / self.prior_prob))
-        b = self.param("bias",
-                       lambda k, s: jnp.full(s, bias_init, jnp.float32),
-                       (self.out_channels,))
-        y = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype), (self.stride,),
-            [(self.padding, self.padding)],
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            feature_group_count=self.groups)
-        return y + b.astype(y.dtype)[None, :, None]
+        self.bias = self.param(
+            "bias", lambda k, s: jnp.full(s, bias_init, jnp.float32),
+            (self.out_channels,))
 
 
 class _MaskedPriorConv(nn.Module):
@@ -70,8 +64,12 @@ class ClsHead(nn.Module):
         out_logits, out_masks = (), ()
         for x, mask in zip(fpn, fpn_masks):
             for conv, norm in zip(self.convs, self.norms):
-                x, _ = conv(x, mask)
-                x = jax.nn.relu(norm(x))
+                # single fused masked-conv3+LN+ReLU pass (Pallas on TPU at
+                # long T, XLA composition otherwise); numerics identical to
+                # conv -> norm -> relu
+                x = fused_conv3_ln_act(
+                    x, mask[:, 0, :], conv.conv.weight, conv.conv.bias,
+                    norm.weight, norm.bias, act="relu")
             logits, _ = self.cls_head(x, mask)
             out_logits += (logits[:, 0, :],)
             out_masks += (mask[:, 0, :],)
@@ -104,8 +102,9 @@ class RegHead(nn.Module):
         out_offsets, out_masks = (), ()
         for i, (x, mask) in enumerate(zip(fpn, fpn_masks)):
             for conv, norm in zip(self.convs, self.norms):
-                x, _ = conv(x, mask)
-                x = jax.nn.relu(norm(x))
+                x = fused_conv3_ln_act(
+                    x, mask[:, 0, :], conv.conv.weight, conv.conv.bias,
+                    norm.weight, norm.bias, act="relu")
             offsets, _ = self.reg_head(x, mask)
             offsets = jax.nn.relu(self.scales[i](offsets))   # (bs, 2, p)
             out_offsets += (offsets,)

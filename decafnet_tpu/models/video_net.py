@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nn.blocks import MaskedConv1D, LayerNorm, TransformerEncoder
+from ..ops.fused_conv import fused_conv3_ln_act
 from ..ops.masked import sinusoid_encoding, interpolate_linear_1d
 
 
@@ -102,8 +103,15 @@ class VideoTransformer(nn.Module):
 
         x, _ = self.embd_fc(x, mask)
         for conv, norm in zip(self.embd_convs, self.embd_norms):
-            x, mask = conv(x, mask)
-            x = jax.nn.relu(norm(x))
+            if conv.kernel_size == 3 and conv.stride == 1:
+                # fused masked-conv3+LN+ReLU (ops/fused_conv.py); identical
+                # numerics, one HBM pass instead of four
+                x = fused_conv3_ln_act(
+                    x, mask[:, 0, :], conv.conv.weight, conv.conv.bias,
+                    norm.weight, norm.bias, act="relu")
+            else:
+                x, mask = conv(x, mask)
+                x = jax.nn.relu(norm(x))
 
         if self.use_abs_pe:
             t = x.shape[-1]

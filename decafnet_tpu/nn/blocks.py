@@ -29,6 +29,7 @@ from ..ops.masked import (
     interpolate_nearest_1d,
 )
 from ..ops.local_attention import band_attention
+from ..ops.fused_conv import fused_qkv_depthwise_ln
 
 
 def torch_conv_uniform_init(key, shape, dtype=jnp.float32):
@@ -48,7 +49,11 @@ def trunc_normal_init(std=0.02):
 
 
 class Conv1d(nn.Module):
-    """1D convolution storing weights in the torch (out, in, k) layout."""
+    """1D convolution storing weights in the torch (out, in, k) layout.
+
+    Parameters are declared in ``setup`` (not compact) so parent modules can
+    read ``.weight``/``.bias`` directly to feed fused kernels
+    (ops/fused_conv.py) without changing the parameter tree."""
     in_channels: int
     out_channels: int
     kernel_size: int
@@ -59,28 +64,35 @@ class Conv1d(nn.Module):
     use_bias: bool = True
     zero_bias: bool = True
 
-    @nn.compact
-    def __call__(self, x):
-        w = self.param(
+    def setup(self):
+        self.weight = self.param(
             "weight", torch_conv_uniform_init,
-            (self.out_channels, self.in_channels // self.groups, self.kernel_size),
+            (self.out_channels, self.in_channels // self.groups,
+             self.kernel_size),
         )
+        if self.use_bias:
+            init = nn.initializers.zeros if self.zero_bias else (
+                lambda k, s, d=jnp.float32: jax.random.uniform(
+                    k, s, d,
+                    -1.0 / np.sqrt(
+                        self.in_channels // self.groups * self.kernel_size),
+                    1.0 / np.sqrt(
+                        self.in_channels // self.groups * self.kernel_size)))
+            self.bias = self.param("bias", init, (self.out_channels,))
+        else:
+            self.bias = None
+
+    def __call__(self, x):
         y = jax.lax.conv_general_dilated(
-            x, w.astype(x.dtype),
+            x, self.weight.astype(x.dtype),
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NCH", "OIH", "NCH"),
             feature_group_count=self.groups,
         )
-        if self.use_bias:
-            init = nn.initializers.zeros if self.zero_bias else (
-                lambda k, s, d=jnp.float32: jax.random.uniform(
-                    k, s, d,
-                    -1.0 / np.sqrt(self.in_channels // self.groups * self.kernel_size),
-                    1.0 / np.sqrt(self.in_channels // self.groups * self.kernel_size)))
-            b = self.param("bias", init, (self.out_channels,))
-            y = y + b.astype(y.dtype)[None, :, None]
+        if self.bias is not None:
+            y = y + self.bias.astype(y.dtype)[None, :, None]
         return y
 
 
@@ -114,17 +126,24 @@ class MaskedConv1D(nn.Module):
 
 class LayerNorm(nn.Module):
     """Channel-first LayerNorm over (bs, c, t)
-    (reference: libs/modeling/blocks.py:109-131)."""
+    (reference: libs/modeling/blocks.py:109-131). Setup-style params so
+    fused kernels can read ``.weight``/``.bias`` from the parent."""
     n_channels: int
     affine: bool = True
     eps: float = 1e-5
 
-    @nn.compact
-    def __call__(self, x):
-        w = b = None
+    def setup(self):
         if self.affine:
-            w = self.param("weight", nn.initializers.ones, (self.n_channels, 1))
-            b = self.param("bias", nn.initializers.zeros, (self.n_channels, 1))
+            self.weight = self.param("weight", nn.initializers.ones,
+                                     (self.n_channels, 1))
+            self.bias = self.param("bias", nn.initializers.zeros,
+                                   (self.n_channels, 1))
+        else:
+            self.weight = None
+            self.bias = None
+
+    def __call__(self, x):
+        w, b = self.weight, self.bias
         return channel_layer_norm(
             x, None if w is None else w.astype(x.dtype),
             None if b is None else b.astype(x.dtype), self.eps)
@@ -312,12 +331,24 @@ class ConvAttNLayer(nn.Module):
 
     def __call__(self, x, mask, deterministic=True):
         if self.use_conv:
-            k, _ = self.k_conv(x, mask)
-            v, _ = self.v_conv(x, mask)
-            q, mask = self.q_conv(x, mask)
-            q = self.q_norm(q)
-            k = self.k_norm(k)
-            v = self.v_norm(v)
+            if self.stride == 1:
+                # fused trio: x read once, three depthwise-conv3+LN outputs
+                # (ops/fused_conv.py; Pallas on TPU at long T, identical
+                # XLA composition otherwise)
+                q, k, v = fused_qkv_depthwise_ln(
+                    x, mask[:, 0, :],
+                    (self.q_conv.conv.weight, self.k_conv.conv.weight,
+                     self.v_conv.conv.weight),
+                    (self.q_norm.weight, self.k_norm.weight,
+                     self.v_norm.weight),
+                    (self.q_norm.bias, self.k_norm.bias, self.v_norm.bias))
+            else:
+                k, _ = self.k_conv(x, mask)
+                v, _ = self.v_conv(x, mask)
+                q, mask = self.q_conv(x, mask)
+                q = self.q_norm(q)
+                k = self.k_norm(k)
+                v = self.v_norm(v)
         else:
             q = k = v = x
         out = self.attn(q, k, v, mask, deterministic=deterministic)

@@ -122,6 +122,64 @@ def band_attention_xla(q, k, v, kv_mask, window_size, chunk=DEFAULT_CHUNK):
     return (out * qmask).astype(q.dtype)
 
 
+def _shift_time(x, r):
+    """x_r[..., i, :] = x[..., i + r, :] with zero fill out of range
+    (static pad + slice; time is axis -2)."""
+    if r == 0:
+        return x
+    T = x.shape[-2]
+    pad = [(0, 0)] * x.ndim
+    if r > 0:
+        pad[-2] = (0, r)
+        x = jnp.pad(x, pad)
+        return jax.lax.slice_in_dim(x, r, r + T, axis=-2)
+    pad[-2] = (-r, 0)
+    x = jnp.pad(x, pad)
+    return jax.lax.slice_in_dim(x, 0, T, axis=-2)
+
+
+def band_attention_diag(q, k, v, kv_mask, window_size):
+    """Banded attention via per-diagonal products: the (T, w) score tensor
+    replaces the chunked formulation's (T, c + 2*halo) tiles, cutting the
+    HBM traffic of the softmax passes by ~(c + 2*halo)/w (~27x at the
+    default chunk and w=5). All shifts are static pad+slice; everything
+    fuses into a handful of elementwise passes. This mirrors the
+    reference's as_strided diagonal band assembly
+    (libs/modeling/blocks.py:243-301) expressed as XLA-fusible shifts.
+
+    The fastest formulation for SHORT, heavily batched sequences (NLQ-scale
+    eval: measured ~5x over the chunked form at (64, 4, 2304, 32)); the
+    chunked/Pallas forms win for long single sequences where per-diagonal
+    shifts stop fusing.
+    """
+    assert window_size % 2 == 1 and window_size > 0
+    halo = window_size // 2
+    B, H, T, D = q.shape
+    mask_f = kv_mask.astype(jnp.float32)[:, None, :]        # (B, 1, T)
+
+    scores = []
+    for r in range(-halo, halo + 1):
+        k_r = _shift_time(k, r)
+        s = jnp.einsum("bhtd,bhtd->bht", q, k_r,
+                       preferred_element_type=jnp.float32)  # (B, H, T)
+        m_r = _shift_time(mask_f[..., None], r)[..., 0]     # (B, 1, T)
+        scores.append(jnp.where(m_r > 0, s, -jnp.inf))
+    s = jnp.stack(scores, axis=-1)                          # (B, H, T, w)
+
+    smax = jnp.max(s, axis=-1, keepdims=True)
+    smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+    p = jnp.exp(s - smax)
+    p = jnp.where(jnp.isfinite(s), p, 0.0)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / jnp.maximum(denom, jnp.finfo(p.dtype).tiny)
+
+    out = jnp.zeros(q.shape, jnp.float32)
+    for i, r in enumerate(range(-halo, halo + 1)):
+        out = out + p[..., i:i + 1] * _shift_time(v, r).astype(jnp.float32)
+    qmask = kv_mask[:, None, :, None].astype(out.dtype)
+    return (out * qmask).astype(q.dtype)
+
+
 def band_attention_reference(q, k, v, kv_mask, window_size):
     """Brute-force O(t^2) oracle replicating the reference numerics,
     including the additive -1e4 key mask (used by tests only)."""
@@ -215,10 +273,13 @@ def _band_attention_pallas_impl(q, k, v, kv_mask, window_size,
             qh = q_ref[0, h].astype(jnp.float32)          # (c, D)
 
             def scores(k_ref, valid):
+                # precision pinned: Mosaic rejects a global default of HIGH,
+                # and the kernel math is f32 regardless
                 s = jax.lax.dot_general(
                     qh, k_ref[0, h].astype(jnp.float32),
                     (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # (c, c)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # (c, c)
                 return jnp.where(valid > 0, s, big_neg)
 
             s_p = scores(kp, valid_p)
@@ -240,7 +301,8 @@ def _band_attention_pallas_impl(q, k, v, kv_mask, window_size,
                 return jax.lax.dot_general(
                     p, v_ref[0, h].astype(jnp.float32),
                     (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
 
             out_h = (weighted(p_p, vp) + weighted(p_c, vc)
                      + weighted(p_n, vn)) / denom
@@ -314,19 +376,24 @@ def band_attention_pallas(q, k, v, kv_mask, window_size, chunk=DEFAULT_CHUNK,
 
 _BACKEND = "auto"
 
-# measured on TPU v5e: the fused Pallas kernel overtakes the XLA
-# gather+einsum formulation for long single sequences (HBM-bandwidth bound);
-# XLA wins for short batched sequences where its fusion amortizes better.
+# retained for the explicit 'pallas' backend and historical context: round-2
+# measured the fused Pallas kernel beating the CHUNKED XLA formulation for
+# long single sequences. Round 3's diagonal formulation beats both at every
+# measured shape (v5e, w=5: 3.0x pallas at (64,4,2304,32), 3.4x pallas at
+# (2,4,32768,32)), so 'auto' now always picks 'diag'.
 PALLAS_MIN_T = 8192
 
 
 def set_backend(name):
-    """Set the global banded-attention backend: 'xla' | 'pallas' | 'auto'.
+    """Set the global banded-attention backend:
+    'diag' | 'xla' | 'pallas' | 'auto'.
 
-    'auto' picks per shape: the Pallas kernel for long sequences on TPU
-    (MAD-scale, T >= PALLAS_MIN_T), the XLA formulation otherwise."""
+    'auto' resolves to the diagonal formulation -- the fastest measured at
+    every live shape (see PARITY.md round-3 kernel notes); 'xla' (chunked
+    dense) and 'pallas' (fused Mosaic kernel) remain selectable for
+    cross-checks."""
     global _BACKEND
-    assert name in ("xla", "pallas", "auto")
+    assert name in ("diag", "xla", "pallas", "auto")
     _BACKEND = name
 
 
@@ -339,9 +406,10 @@ def band_attention(q, k, v, kv_mask, window_size, chunk=DEFAULT_CHUNK,
     """Dispatch banded attention to the configured backend."""
     backend = backend or _BACKEND
     if backend == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        backend = ("pallas" if on_tpu and q.shape[2] >= PALLAS_MIN_T
-                   else "xla")
+        backend = "diag"
     if backend == "pallas":
-        return band_attention_pallas(q, k, v, kv_mask, window_size, chunk=chunk)
+        return band_attention_pallas(q, k, v, kv_mask, window_size,
+                                     chunk=chunk)
+    if backend == "diag":
+        return band_attention_diag(q, k, v, kv_mask, window_size)
     return band_attention_xla(q, k, v, kv_mask, window_size, chunk=chunk)

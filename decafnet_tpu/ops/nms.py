@@ -273,6 +273,25 @@ def batched_nms_device(x1, x2, scores, valid, k, mode="soft_nms",
 # ---------------------------------------------------------------------------
 
 
+def segment_voting_host(nms_segs, all_segs, all_scores, iou_thresh):
+    """Pure-numpy segment voting (reference: libs/nms/nms.py:64-103).
+
+    Same math as the device ``segment_voting`` -- kept host-side so the
+    host decode pipeline never dispatches to the accelerator (a per-call
+    device round-trip costs ~40 ms over the axon tunnel)."""
+    n1, n2 = nms_segs[:, 0], nms_segs[:, 1]
+    a1, a2 = all_segs[:, 0], all_segs[:, 1]
+    left = np.maximum(n1[:, None], a1[None, :])
+    right = np.minimum(n2[:, None], a2[None, :])
+    overlap = np.clip(right - left, 0.0, None)
+    union = (n2 - n1)[:, None] + (a2 - a1)[None, :] - overlap
+    iou = overlap / np.maximum(union, 1e-12)
+    weights = (iou >= iou_thresh).astype(np.float32) * all_scores[None, :]
+    denom = np.sum(weights, axis=1, keepdims=True)
+    weights = weights / np.maximum(denom, 1e-12)
+    return np.stack([weights @ a1, weights @ a2], axis=-1)
+
+
 def batched_nms_host(segs, scores, iou_thresh, min_score, max_num_segs,
                      mode="soft_nms", sigma=0.5, voting_thresh=0.75):
     """Reference-exact host decode for one query (numpy in / numpy out)."""
@@ -301,9 +320,8 @@ def batched_nms_host(segs, scores, iou_thresh, min_score, max_num_segs,
         raise NotImplementedError("invalid NMS mode")
 
     if voting_thresh > 0 and len(nms_segs) > 0:
-        nms_segs = np.asarray(segment_voting(
-            jnp.asarray(nms_segs), jnp.asarray(segs), jnp.asarray(scores),
-            voting_thresh))
+        nms_segs = segment_voting_host(np.asarray(nms_segs, np.float32),
+                                       segs, scores, voting_thresh)
 
     order = np.argsort(-nms_scores, kind="stable")
     m = min(max_num_segs, len(nms_segs))

@@ -12,6 +12,7 @@ from decafnet_tpu.ops import (
     band_attention_pallas,
     band_attention_reference,
 )
+from decafnet_tpu.ops.local_attention import band_attention_diag
 
 RNG = np.random.RandomState(1)
 
@@ -56,6 +57,38 @@ def test_band_attention_xla_vs_torch(t, window, chunk):
         window, chunk=chunk))
     want = torch_band_oracle(q, k, v, mask, window)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("t,window", [
+    (96, 5), (40, 9), (130, 5), (8, 5), (7, 5)])
+def test_band_attention_diag_vs_torch(t, window):
+    """The diagonal (shifted-band) formulation == the torch band oracle,
+    including partial masks and sequences shorter than the window."""
+    q, k, v, mask = _inputs(t=t, lens=[t, max(1, t * 2 // 3)])
+    got = np.asarray(band_attention_diag(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        window))
+    want = torch_band_oracle(q, k, v, mask, window)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_band_attention_diag_grad_finite_and_masked():
+    """diag is the default short-sequence TRAIN path: gradients must be
+    finite and zero through fully-masked rows."""
+    import jax
+
+    q, k, v, mask = _inputs(t=64, lens=[64, 0])
+    args = tuple(map(jnp.asarray, (q, k, v)))
+    m = jnp.asarray(mask)
+
+    def loss(q, k, v):
+        return jnp.sum(band_attention_diag(q, k, v, m, 5) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(*args)
+    for g in grads:
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g))
+        assert np.all(g[1] == 0)  # fully-masked row contributes nothing
 
 
 def test_band_attention_xla_vs_bruteforce_jax():
