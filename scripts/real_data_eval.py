@@ -37,6 +37,33 @@ DATA_KEYS = ("anno_file", "vid_feat_dir", "shallow_vid_feat_dir",
              "clip_token_fname", "text_cls_fname")
 
 
+def _set_permissive(cfg, kv_list):
+    """merge_from_list that may CREATE leaf keys.
+
+    Variant checkpoints can require module kwargs the reference's config
+    tree never declares (e.g. ``model.text_net.n_layers`` — the reference
+    hardcodes the constructor default, libs/modeling/text_net.py:108, so
+    its opt.py has no such key). The model factory passes the whole
+    ``cfg.model`` dict through, so a new leaf in opt.yaml reaches the
+    module; the strict ``merge_from_list`` would reject it."""
+    import yaml
+
+    assert len(kv_list) % 2 == 0, "override list must be key/value pairs"
+    for key, value in zip(kv_list[0::2], kv_list[1::2]):
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            if p not in node:
+                raise KeyError(f"unknown config section: {key}")
+            node = node[p]
+        leaf = parts[-1]
+        if leaf in node:
+            node.merge_from_list([leaf, value])
+        else:
+            node[leaf] = yaml.safe_load(value) if isinstance(value, str) \
+                else value
+
+
 def prepare_expdir(out, ckpt, data_overrides, set_cfgs=None):
     """Materialize <out>/opt.yaml + <out>/models/<ckpt> for eval.py."""
     from decafnet_tpu.core import get_cfg_defaults, update_from, CfgNode
@@ -47,7 +74,7 @@ def prepare_expdir(out, ckpt, data_overrides, set_cfgs=None):
         cfg.data[k] = v
         cfg.eval.data[k] = v
     if set_cfgs:
-        cfg.merge_from_list(set_cfgs)
+        _set_permissive(cfg, set_cfgs)
     os.makedirs(os.path.join(out, "models"), exist_ok=True)
     cfg.dump_to_file(os.path.join(out, "opt.yaml"))
 
@@ -102,6 +129,7 @@ def selftest(out):
     cfg.model.fusion.n_layers = 1
     cfg.model.sratio = 0.5
     cfg.model.sn = 8
+    cfg.model.msf = True  # configs/ego4d_nlq.yaml sets msf: true
     apply_synthetic_cfg(cfg, paths)
     update_opt(cfg)
     update_eval_data(cfg)
@@ -124,7 +152,7 @@ def selftest(out):
         set_cfgs=["model.vid_net.in_dim", "32",
                   "model.vid_net.embd_dim", "16",
                   "model.vid_net.max_seq_len", "64",
-                  "model.vid_net.arch", "(1, 0, 3)",
+                  "model.vid_net.arch", "[1, 0, 3]",
                   "model.text_net.in_dim", "24",
                   "model.text_net.embd_dim", "16",
                   "model.text_net.n_layers", "1",
