@@ -20,6 +20,7 @@ from .pipeline import (
     delegated_encode,
     encode_delegate_ground,
     expert_budget,
+    gather_clips,
     select_salient_clips,
 )
 from .spacetime_vit import SpaceTimeViT
@@ -47,6 +48,7 @@ __all__ = [
     "delegated_encode",
     "encode_delegate_ground",
     "expert_budget",
+    "gather_clips",
     "select_salient_clips",
     "SpaceTimeViT",
     "load_vit_checkpoint",

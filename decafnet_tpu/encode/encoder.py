@@ -35,13 +35,14 @@ import numpy as np
 class MHA(nn.Module):
     dim: int
     heads: int
+    dtype: Any = None  # compute dtype for the matmuls (params stay f32)
 
     @nn.compact
     def __call__(self, x):
         """Self-attention over axis -2 of (..., n, dim), fp32 softmax."""
         h = self.heads
         d = self.dim // h
-        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
+        qkv = nn.Dense(3 * self.dim, name="qkv", dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split_heads(t):
@@ -50,10 +51,10 @@ class MHA(nn.Module):
         q, k, v = map(split_heads, (q, k, v))
         logits = jnp.einsum("...qd,...kd->...qk", q, k,
                             preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(logits / np.sqrt(d), axis=-1).astype(x.dtype)
-        out = jnp.einsum("...qk,...kd->...qd", attn, v)
+        attn = jax.nn.softmax(logits / float(np.sqrt(d)), axis=-1)
+        out = jnp.einsum("...qk,...kd->...qd", attn.astype(v.dtype), v)
         out = out.swapaxes(-2, -3).reshape(x.shape[:-1] + (self.dim,))
-        return nn.Dense(self.dim, name="proj")(out)
+        return nn.Dense(self.dim, name="proj", dtype=self.dtype)(out)
 
 
 class Block(nn.Module):
@@ -62,20 +63,26 @@ class Block(nn.Module):
     dim: int
     heads: int
     mlp_ratio: float = 4.0
+    dtype: Any = None  # compute dtype (residual stream/LN stats stay f32)
 
     @nn.compact
     def __call__(self, x):
-        # x: (B, F, N, dim)
-        t_in = nn.LayerNorm(name="norm_t")(x)
+        # x: (B, F, N, dim). In bf16 mode the residual stream itself is
+        # bf16 (the block is HBM-bound: LN/residual passes over the full
+        # stream dominate; flax LN computes its statistics in f32
+        # regardless of dtype, so only storage precision drops).
+        t_in = nn.LayerNorm(name="norm_t", dtype=self.dtype)(x)
         t_in = t_in.swapaxes(1, 2)                  # (B, N, F, dim)
-        x = x + MHA(self.dim, self.heads,
+        x = x + MHA(self.dim, self.heads, dtype=self.dtype,
                     name="attn_t")(t_in).swapaxes(1, 2)
-        x = x + MHA(self.dim, self.heads,
-                    name="attn_s")(nn.LayerNorm(name="norm_s")(x))
-        y = nn.LayerNorm(name="norm_m")(x)
-        y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(y)
+        x = x + MHA(self.dim, self.heads, dtype=self.dtype,
+                    name="attn_s")(
+            nn.LayerNorm(name="norm_s", dtype=self.dtype)(x))
+        y = nn.LayerNorm(name="norm_m", dtype=self.dtype)(x)
+        y = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1",
+                     dtype=self.dtype)(y)
         y = nn.gelu(y)
-        return x + nn.Dense(self.dim, name="fc2")(y)
+        return x + nn.Dense(self.dim, name="fc2", dtype=self.dtype)(y)
 
 
 class ClipEncoder(nn.Module):
@@ -90,6 +97,10 @@ class ClipEncoder(nn.Module):
     heads: int = 6
     out_dim: int = 256
     frames: int = 4
+    dtype: Any = None  # bf16 compute mode: no reference-parity constraint
+    #                    exists for this stage (the reference encodes
+    #                    OFFLINE), so matmuls may run bf16; params, LN
+    #                    statistics and the softmax stay f32
 
     @nn.compact
     def __call__(self, frames):
@@ -102,25 +113,32 @@ class ClipEncoder(nn.Module):
         # patchify as a single matmul: (B, F, nh, p, nw, p, C) -> tokens
         x = frames.reshape(B, F, nh, p, nw, p, C)
         x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, F, n, p * p * C)
-        x = nn.Dense(self.dim, name="patch_embed")(x)
+        x = nn.Dense(self.dim, name="patch_embed", dtype=self.dtype)(x)
 
         pe_s = self.param("pos_embed", nn.initializers.normal(0.02),
                           (1, 1, n, self.dim))
         pe_t = self.param("time_embed", nn.initializers.normal(0.02),
                           (1, F, 1, self.dim))
         x = x + pe_s + pe_t
+        if self.dtype is not None:
+            x = x.astype(self.dtype)  # bf16 residual stream (see Block)
 
         for i in range(self.depth):
-            x = Block(self.dim, self.heads, name=f"block{i}")(x)
+            x = Block(self.dim, self.heads, dtype=self.dtype,
+                      name=f"block{i}")(x)
 
         x = nn.LayerNorm(name="norm")(x)
         x = jnp.mean(x, axis=(1, 2))                # frame+patch pooling
-        return nn.Dense(self.out_dim, name="head")(x)
+        out = nn.Dense(self.out_dim, name="head", dtype=self.dtype)(x)
+        return out.astype(jnp.float32)
 
 
 def make_clip_encoder(opt: Dict[str, Any]):
     fields = set(ClipEncoder.__dataclass_fields__)
-    return ClipEncoder(**{k: v for k, v in opt.items() if k in fields})
+    kwargs = {k: v for k, v in opt.items() if k in fields}
+    if isinstance(kwargs.get("dtype"), str):  # JSON/yaml-sourced opts
+        kwargs["dtype"] = jnp.dtype(kwargs["dtype"]).type
+    return ClipEncoder(**kwargs)
 
 
 def _bucket(n, lo=8):

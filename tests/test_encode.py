@@ -200,3 +200,24 @@ def test_delegated_encode_equals_encode_all_then_gate():
     assert np.asarray(w_all).sum() == T
     full = delegated_encode(runner, idx, w_all, frames)
     np.testing.assert_allclose(full, all_feats, rtol=2e-5, atol=2e-5)
+
+
+def test_gather_clips_matches_index_gather():
+    """One-hot-matmul clip gather (the TPU formulation; index gathers on
+    frame tensors measure ~100 ms at T=512) == frames[idx], including a
+    bf16-matmul variant that must equal gathering then casting (the one-hot
+    rows are exact in any float dtype)."""
+    from decafnet_tpu.encode import gather_clips
+
+    T = 13
+    frames = RNG.rand(T, 2, 8, 8, 3).astype(np.float32)
+    idx = np.array([7, 0, 12, 3, 3], np.int32)   # dups allowed
+
+    out = np.asarray(gather_clips(jnp.asarray(frames), jnp.asarray(idx)))
+    np.testing.assert_array_equal(out, frames[idx])
+
+    out16 = np.asarray(gather_clips(jnp.asarray(frames), jnp.asarray(idx),
+                                    dtype=jnp.bfloat16))
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        out16, frames[idx].astype(jnp.bfloat16))
