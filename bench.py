@@ -29,9 +29,50 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+def require_tpu(retries=6, wait=10.0):
+    """Resolve the backend and refuse to proceed off-TPU, with bounded
+    retries for transient axon failures.
+
+    The axon chip is a single-tenant lease; a just-finished process can
+    hold it briefly, during which backend resolution raises "Unable to
+    initialize backend 'tpu': No jellyfish device found" -- transient, so
+    retry after dropping jax's cached backend-error state. Two failure
+    modes are NOT transient and fail immediately with a diagnosis:
+    "Backend 'axon' is not in the list of known backends" means the axon
+    shim never registered, i.e. PYTHONPATH was set without keeping
+    /root/.axon_site on it (see CLAUDE.md); a SILENT resolution to XLA:CPU
+    (observed once; produced a 51.7 s/step "measurement" vs 190 ms on
+    chip) persists for the process lifetime, so fail loudly instead of
+    recording CPU numbers.
+    """
+    import jax
+    last = None
+    for attempt in range(retries):
+        if attempt:
+            time.sleep(wait)
+        try:
+            backend = jax.default_backend()
+        except RuntimeError as e:
+            if "known backends" in str(e):  # axon shim not on sys.path
+                raise SystemExit(
+                    "axon platform never registered -- PYTHONPATH must "
+                    "keep /root/.axon_site (do not override it; see "
+                    "CLAUDE.md)") from e
+            last = e  # transient lease race: retry
+            from jax._src import xla_bridge
+            xla_bridge._clear_backends()
+            continue
+        assert backend == "tpu", (
+            f"not on TPU (backend={backend}); refusing to measure -- "
+            "restart once the axon chip is free")
+        return
+    raise SystemExit(f"TPU backend failed to initialize after {retries} "
+                     f"attempts: {last}")
 
 
 def build(cfg_overrides=None):
@@ -295,6 +336,8 @@ def main():
     # TF32-class accuracy -- the same class the reference's cudnn convs use
     # on A100, where allow_tf32 defaults on). Applied to BOTH sides.
     jax.config.update("jax_default_matmul_precision", "high")
+
+    require_tpu()
 
     V, Q, T = 8, 8, 2304
     clip_stride, fps = 16, 30.0

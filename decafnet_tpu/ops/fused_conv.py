@@ -421,7 +421,14 @@ def fused_qkv_depthwise_ln(x, mask, ws, ln_ws, ln_bs, eps=1e-5):
 # Mosaic kernel instance adds minutes of (one-time, cached) compile over the
 # axon tunnel.
 PALLAS_MIN_T = 8192
-_FUSED_ENABLED = True
+# Default OFF (round-3 A/B on the chip): after the diagonal band-attention
+# rework, the full MAD-scale decode measures 31.7 ms with the XLA
+# composition vs 33.4 ms with the Pallas kernels -- each Pallas call is a
+# fusion BARRIER, so neighboring elementwise work (PE adds, residuals,
+# mask multiplies) that XLA folds into the conv cluster must round-trip
+# HBM. The kernels remain as a validated alternate backend
+# (set_fused_conv(True); bench.py re-validates them on-chip every run).
+_FUSED_ENABLED = False
 
 
 def set_fused_conv(enabled):

@@ -72,8 +72,25 @@ def interpolate_nearest_1d(x, size):
     torch maps output index i to source index floor(i * in_size / out_size)
     (computed in float32; we use the same float computation to match
     edge-case rounding).
+
+    Gather-free fast paths (index gathers are the #1 TPU decode cost in
+    this codebase) where the f32 index math is provably exact, so they are
+    bit-identical to the take formulation:
+      * integer downsample (in == s*size): scale == s exactly, and i*s is
+        exact in f32 for all grid sizes here -> idx = i*s, a strided slice;
+      * power-of-two upsample (size == r*in, r = 2^k): scale == 2^-k
+        exactly and i*2^-k is exact -> idx = i >> k, a uniform repeat
+        (broadcast+reshape). Non-pow-2 upsamples keep the take (1/r may
+        round in f32 and shift a boundary index).
     """
     in_size = x.shape[-1]
+    if size == in_size:
+        return x
+    if in_size % size == 0:
+        return x[..., :: in_size // size]
+    r, rem = divmod(size, in_size)
+    if rem == 0 and r & (r - 1) == 0:
+        return jnp.repeat(x, r, axis=-1)
     scale = np.float32(in_size) / np.float32(size)
     idx = np.floor(np.arange(size, dtype=np.float32) * scale).astype(np.int32)
     idx = np.clip(idx, 0, in_size - 1)

@@ -198,6 +198,8 @@ def main(argv=None):
     import bench
     from decafnet_tpu.ops.nms import batched_nms_host
 
+    bench.require_tpu()
+
     cfg = bench.build({"model.vid_net.in_dim": 256,
                        "model.vid_net.max_seq_len": args.T})
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

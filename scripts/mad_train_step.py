@@ -38,6 +38,7 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import bench
+    bench.require_tpu()
     from decafnet_tpu.models import (fpn_lengths, generate_points,
                                      make_model, select_points)
     from decafnet_tpu.train.optim import make_optimizer, make_schedule

@@ -72,6 +72,9 @@ def test_masked_max_pool1d(t, lens):
 
 @pytest.mark.parametrize("in_size,out_size", [
     (7, 70), (3, 70), (16, 5), (5, 5), (37, 2304), (2, 70), (1, 7),
+    # gather-free fast paths (strided-slice downsample / pow-2 repeat
+    # upsample) must stay bit-identical to the torch formulation
+    (64, 32), (96, 32), (70, 7), (32, 64), (16, 128), (512, 32768),
 ])
 def test_interpolate_nearest(in_size, out_size):
     x = RNG.randn(2, 4, in_size).astype(np.float32)
