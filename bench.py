@@ -50,13 +50,44 @@ def require_tpu(retries=6, wait=10.0):
     chip) persists for the process lifetime, so fail loudly instead of
     recording CPU numbers.
     """
+    import threading
+
     import jax
+
+    def _resolve(out):
+        # runs in a daemon thread: the axon claim loop is a blocking
+        # native call that a wedged terminal server never returns from
+        # (observed: >4 h); a signal can't interrupt it, so the watchdog
+        # joins with a timeout and exits the process instead of hanging
+        # the driver forever.
+        try:
+            out["backend"] = jax.default_backend()
+        except BaseException as e:  # noqa: BLE001 -- re-raised on main thread
+            out["err"] = e
+
+    def _backend_or_exit(timeout=180.0):
+        out = {}
+        th = threading.Thread(target=_resolve, args=(out,), daemon=True)
+        th.start()
+        th.join(timeout)
+        if th.is_alive():
+            raise SystemExit(
+                f"axon backend init wedged (> {timeout:.0f}s inside the "
+                "chip-claim call; a healthy claim resolves in seconds). "
+                "The terminal/tunnel side is stuck -- restart the "
+                "environment or wait for the lease to clear; retrying "
+                "in-process cannot help (connection options are fixed "
+                "for process lifetime).")
+        if "err" in out:
+            raise out["err"]
+        return out["backend"]
+
     last = None
     for attempt in range(retries):
         if attempt:
             time.sleep(wait)
         try:
-            backend = jax.default_backend()
+            backend = _backend_or_exit()
         except RuntimeError as e:
             if "known backends" in str(e):  # axon shim not on sys.path
                 raise SystemExit(

@@ -32,7 +32,7 @@ from ..nn.blocks import MaskedConv1D
 from ..ops.delegation import delegate, delegation_weights
 from ..ops.masked import interpolate_nearest_1d, masked_max_pool1d
 from .fusion import make_fusion
-from .heads import make_head
+from .heads import dual_head_applicable, dual_head_apply, make_head
 from .tcn import TCN
 from .text_net import make_text_net
 from .video_net import make_video_net
@@ -118,8 +118,16 @@ class DeCafNetIterative(nn.Module):
                 refined = masked_max_pool1d(refined, fpn_masks[i - 1])[0]
             new_fpn += (jnp.concatenate([f, refined.astype(f.dtype)], axis=1),)
 
-        fpn_logits2, _ = self.cls_head2(new_fpn, fpn_masks)
-        fpn_offsets, out_masks = self.reg_head(new_fpn, fpn_masks)
+        if dual_head_applicable(self.cls_head2, self.reg_head):
+            # single-pass dual trunk: new_fpn levels are read ONCE for both
+            # heads (concatenated layer-1 conv, 2-group deeper convs,
+            # per-stream LN) -- numerics match the separate calls to fp
+            # reassociation (tests/test_dual_head.py)
+            fpn_logits2, fpn_offsets, out_masks = dual_head_apply(
+                self.cls_head2, self.reg_head, new_fpn, fpn_masks)
+        else:
+            fpn_logits2, _ = self.cls_head2(new_fpn, fpn_masks)
+            fpn_offsets, out_masks = self.reg_head(new_fpn, fpn_masks)
         return fpn_logits, fpn_logits2, fpn_offsets, out_masks
 
     def _delegate_project_grouped(self, vid, shallow_vid, vid_masks,
@@ -284,8 +292,12 @@ class DeCafNetEarlyFusion(nn.Module):
             fpn, fpn_masks = self.fusion(fpn, fpn_masks, text_enc,
                                          text_mask_enc,
                                          deterministic=deterministic)
-        fpn_logits, _ = self.cls_head(fpn, fpn_masks)
-        fpn_offsets, out_masks = self.reg_head(fpn, fpn_masks)
+        if dual_head_applicable(self.cls_head, self.reg_head):
+            fpn_logits, fpn_offsets, out_masks = dual_head_apply(
+                self.cls_head, self.reg_head, fpn, fpn_masks)
+        else:
+            fpn_logits, _ = self.cls_head(fpn, fpn_masks)
+            fpn_offsets, out_masks = self.reg_head(fpn, fpn_masks)
         return fpn_logits, fpn_offsets, out_masks
 
 
@@ -330,8 +342,12 @@ class DeCafNetLateFusion(nn.Module):
             text, text_masks, deterministic=deterministic)
         fpn, fpn_masks = self.fusion(fpn, fpn_masks, text_enc, text_mask_enc,
                                      deterministic=deterministic)
-        fpn_logits, _ = self.cls_head(fpn, fpn_masks)
-        fpn_offsets, out_masks = self.reg_head(fpn, fpn_masks)
+        if dual_head_applicable(self.cls_head, self.reg_head):
+            fpn_logits, fpn_offsets, out_masks = dual_head_apply(
+                self.cls_head, self.reg_head, fpn, fpn_masks)
+        else:
+            fpn_logits, _ = self.cls_head(fpn, fpn_masks)
+            fpn_offsets, out_masks = self.reg_head(fpn, fpn_masks)
         return fpn_logits, fpn_offsets, out_masks
 
 

@@ -115,6 +115,105 @@ class RegHead(nn.Module):
 HEADS = {"cls": ClsHead, "reg": RegHead}
 
 
+# ---------------------------------------------------------------------------
+# Dual-head fusion: when a ClsHead and a RegHead consume the SAME fpn (the
+# iterative model's cls_head2/reg_head pair over new_fpn, and the early/late
+# variants' cls_head/reg_head pair), their structurally-identical trunks are
+# applied as ONE pass over the input: layer-1 convs concatenate along output
+# channels (the (B, C, T) level tensor is read once instead of twice), deeper
+# layers run as a 2-group conv over the stacked (B, 2C, T) stream, LN
+# statistics are computed per stream, and the two final 1/2-channel convs
+# merge into a single block-diagonal conv. Every dot product is unchanged --
+# numerics match the separate heads to fp reassociation (tested in
+# tests/test_dual_head.py). This halves the dominant HBM traffic of the
+# long-sequence heads stage (PARITY round-3 breakdown: fuse_and_predict is
+# 15.2 ms of the 31.5 ms MAD-scale call).
+# ---------------------------------------------------------------------------
+_DUAL_ENABLED = True
+
+
+def set_dual_head(enabled):
+    """Test/A-B hook: force the per-head (separate) path when False."""
+    global _DUAL_ENABLED
+    _DUAL_ENABLED = bool(enabled)
+
+
+def _dual_ln_relu(y, w_a, b_a, w_b, b_b, eps):
+    """Per-stream channel LayerNorm + ReLU over a stacked (B, 2C, T) tensor.
+
+    Matches ops/fused_conv.py:conv3_ln_act_xla's LN semantics (fp32
+    statistics, biased variance) applied independently to each C-channel
+    stream."""
+    B, C2, T = y.shape
+    C = C2 // 2
+    yf = y.astype(jnp.float32).reshape(B, 2, C, T)
+    mu = jnp.mean(yf, axis=2, keepdims=True)
+    yc = yf - mu
+    sigma = jnp.mean(jnp.square(yc), axis=2, keepdims=True)
+    yn = yc * jax.lax.rsqrt(sigma + eps)
+    w = jnp.stack([w_a.reshape(C), w_b.reshape(C)]).astype(jnp.float32)
+    b = jnp.stack([b_a.reshape(C), b_b.reshape(C)]).astype(jnp.float32)
+    yn = yn * w[None, :, :, None] + b[None, :, :, None]
+    return jax.nn.relu(yn.astype(y.dtype).reshape(B, C2, T))
+
+
+def _conv1d(x, w, groups=1):
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(1,), padding=[(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=groups)
+
+
+def dual_head_applicable(cls_head, reg_head):
+    from ..ops import fused_conv
+    return (_DUAL_ENABLED
+            and not fused_conv._FUSED_ENABLED  # opt-in Pallas heads win
+            and isinstance(cls_head, ClsHead)
+            and isinstance(reg_head, RegHead)
+            and cls_head.n_layers == reg_head.n_layers
+            and cls_head.embd_dim == reg_head.embd_dim
+            and cls_head.n_layers >= 1)
+
+
+def dual_head_apply(cls_head, reg_head, fpn, fpn_masks):
+    """Apply a ClsHead and a RegHead that share their input levels, reading
+    each level once. Returns (out_logits, out_offsets, out_masks) with the
+    exact contract of ``cls_head(fpn)`` + ``reg_head(fpn)``."""
+    eps_c = cls_head.norms[0].eps
+    eps_r = reg_head.norms[0].eps
+    assert eps_c == eps_r, "dual head requires matching LN eps"
+    C = cls_head.embd_dim
+
+    # trace-time weight stacking (folds into the executable; the params
+    # stay the separate per-head tensors, so checkpoints/import/export are
+    # unchanged)
+    Ws = [jnp.concatenate([c.conv.weight, r.conv.weight], axis=0)
+          for c, r in zip(cls_head.convs, reg_head.convs)]
+    LNs = [(c.weight, c.bias, r.weight, r.bias)
+           for c, r in zip(cls_head.norms, reg_head.norms)]
+    Wc = cls_head.cls_head.conv.weight               # (1, C, 3)
+    Wr = reg_head.reg_head.conv.weight               # (2, C, 3)
+    Wf = jnp.concatenate([
+        jnp.concatenate([Wc, jnp.zeros_like(Wc)], axis=1),
+        jnp.concatenate([jnp.zeros_like(Wr), Wr], axis=1)], axis=0)
+    bf = jnp.concatenate([cls_head.cls_head.conv.bias,
+                          reg_head.reg_head.conv.bias])
+
+    out_logits, out_offsets, out_masks = (), (), ()
+    for i, (x, mask) in enumerate(zip(fpn, fpn_masks)):
+        mf = mask.astype(x.dtype)                    # (B, 1, T)
+        y = _conv1d(x * mf, Ws[0], groups=1)         # (B, 2C, T), x read once
+        y = _dual_ln_relu(y, *LNs[0], eps=eps_c)
+        for Wi, ln in zip(Ws[1:], LNs[1:]):
+            y = _conv1d(y * mf, Wi, groups=2)
+            y = _dual_ln_relu(y, *ln, eps=eps_c)
+        out = _conv1d(y * mf, Wf) + bf.astype(y.dtype)[None, :, None]
+        offsets = jax.nn.relu(reg_head.scales[i](out[:, 1:3, :]))
+        out_logits += (out[:, 0, :],)
+        out_offsets += (offsets,)
+        out_masks += (mask[:, 0, :],)
+    return out_logits, out_offsets, out_masks
+
+
 def make_head(opt):
     """Registry constructor (reference: libs/modeling/head.py:111-113)."""
     opt = dict(opt)

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""MAD-scale (T=32768, Q=2) full-decode A/B harness on the real chip.
+
+Measures the steady-state full eval call (forward + decode + on-device
+SoftNMS, device_get-synced) under switchable backends:
+
+  python scripts/mad_eval_ab.py                 # dual-head on vs off
+  python scripts/mad_eval_ab.py --axis fused    # Pallas fused conv on vs off
+  python scripts/mad_eval_ab.py --axis none     # single measurement
+
+Timing methodology per PARITY "harness physics": strictly serial chip,
+>=32 queued calls, jax.device_get sync (block_until_ready can acknowledge
+early over the axon tunnel), scalar/small outputs only.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(tag, Q, T, warmup=2, iters=32):
+    import jax
+    import bench
+    cfg = bench.build({"model.vid_net.max_seq_len": T})
+    decode, args = bench.make_decode_fn(cfg, Q, T)
+    t0 = time.time()
+    out = decode(*args)
+    jax.device_get(out)
+    print(f"[compile+1st {time.time() - t0:.0f}s] {tag}", flush=True)
+    t = bench.timed(decode, args, warmup=warmup, iters=iters)
+    print(f"full_decode {tag}: {t * 1e3:.2f} ms", flush=True)
+    return t
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--T", type=int, default=32768)
+    parser.add_argument("--Q", type=int, default=2)
+    parser.add_argument("--axis", choices=["dual", "fused", "none"],
+                        default="dual")
+    args = parser.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_default_matmul_precision", "high")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/decafnet_tpu/xla"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import bench
+    bench.require_tpu()
+    from decafnet_tpu.models.heads import set_dual_head
+    from decafnet_tpu.ops.fused_conv import set_fused_conv
+
+    if args.axis == "none":
+        measure("current-defaults", args.Q, args.T)
+        return 0
+
+    setter = set_dual_head if args.axis == "dual" else set_fused_conv
+    results = {}
+    for enabled in (True, False):
+        setter(enabled)
+        try:
+            results[enabled] = measure(f"{args.axis}={enabled}",
+                                       args.Q, args.T)
+        finally:
+            setter(args.axis == "dual")  # restore defaults (dual on,
+            set_fused_conv(False)        # fused off)
+    faster = min(results, key=results.get)
+    print(f"{args.axis}={faster} is faster by "
+          f"{(max(results.values()) / min(results.values()) - 1) * 100:.1f}%",
+          flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
