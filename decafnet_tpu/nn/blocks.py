@@ -83,14 +83,30 @@ class Conv1d(nn.Module):
             self.bias = None
 
     def __call__(self, x):
-        y = jax.lax.conv_general_dilated(
-            x, self.weight.astype(x.dtype),
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            feature_group_count=self.groups,
-        )
+        if (self.groups == self.in_channels == self.out_channels
+                and self.kernel_size == 3 and self.padding == 1
+                and self.dilation == 1):
+            # depthwise conv3 as shift-multiply-add: XLA:TPU lowers
+            # groups==channels convs through the general conv emitter (no
+            # MXU, poor tiling); three shifted elementwise FMAs are pure
+            # VPU work that fuses with neighboring ops. Same products
+            # (cross-correlation taps), reassociation-level numerics.
+            w = self.weight.astype(x.dtype)[:, 0, :]  # (C, 3) taps
+            x_l = jnp.pad(x, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+            x_r = jnp.pad(x, ((0, 0), (0, 0), (0, 1)))[:, :, 1:]
+            y = (w[None, :, 0, None] * x_l + w[None, :, 1, None] * x
+                 + w[None, :, 2, None] * x_r)
+            if self.stride > 1:
+                y = y[:, :, :: self.stride]
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, self.weight.astype(x.dtype),
+                window_strides=(self.stride,),
+                padding=[(self.padding, self.padding)],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NCH", "OIH", "NCH"),
+                feature_group_count=self.groups,
+            )
         if self.bias is not None:
             y = y + self.bias.astype(y.dtype)[None, :, None]
         return y

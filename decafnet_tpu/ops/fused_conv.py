@@ -263,12 +263,17 @@ def qkv_depthwise_ln_xla(x, mask, ws, ln_ws, ln_bs, eps=1e-5):
     Returns three (B, C, T) arrays (q, k, v order of ``ws``).
     """
     xm = x * mask[:, None, :].astype(x.dtype)
+    # depthwise conv3 as shift-multiply-add (see nn/blocks.py:Conv1d): the
+    # shifted tensors are built ONCE and shared by all three branches, so
+    # the trio reads x once; XLA:TPU's general-conv lowering for
+    # groups==channels is avoided entirely (no MXU there anyway).
+    x_l = jnp.pad(xm, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+    x_r = jnp.pad(xm, ((0, 0), (0, 0), (0, 1)))[:, :, 1:]
     outs = []
     for w, lw, lb in zip(ws, ln_ws, ln_bs):
-        y = jax.lax.conv_general_dilated(
-            xm, w.astype(x.dtype), window_strides=(1,), padding=[(1, 1)],
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            feature_group_count=x.shape[1])
+        t = w.astype(x.dtype)[:, 0, :]                # (C, 3) taps
+        y = (t[None, :, 0, None] * x_l + t[None, :, 1, None] * xm
+             + t[None, :, 2, None] * x_r)
         yf = y.astype(jnp.float32)
         mu = jnp.mean(yf, axis=-2, keepdims=True)
         yc = yf - mu
