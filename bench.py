@@ -65,7 +65,8 @@ def require_tpu(retries=6, wait=10.0):
         except BaseException as e:  # noqa: BLE001 -- re-raised on main thread
             out["err"] = e
 
-    def _backend_or_exit(timeout=180.0):
+    def _backend_or_exit(
+            timeout=float(os.environ.get("DECAFNET_CLAIM_TIMEOUT_S", 600))):
         out = {}
         th = threading.Thread(target=_resolve, args=(out,), daemon=True)
         th.start()

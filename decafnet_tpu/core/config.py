@@ -284,6 +284,9 @@ def _base_eval(data):
     ev.reference_exact = False  # replicate the reference per-query loop
     ev.save_results = False     # dump per-video detections for analysis
     ev.shard_videos = 0         # stack N same-bucket videos over the mesh
+    ev.shard_time = 0           # sequence parallelism: shard the TIME axis
+                                # of each video over the mesh (XLA SPMD
+                                # inserts the conv/attention halo exchanges)
     ev.shard_processes = True   # under multi-process jax.distributed, each
                                 # process evaluates its rank-strided video
                                 # shard; counts are allgathered for the table

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..data import DataLoader, batchify_eval, make_dataset, min_chunk_size
 from ..models import fpn_lengths, generate_points, make_model, select_points
-from ..parallel.mesh import batch_sharding, replicated
+from ..parallel.mesh import batch_sharding, replicated, time_sharding
 from ..ops.masked import max_pool1d
 from ..ops.nms import batched_nms_device, batched_nms_host
 from ..train.annotate import annotate_points
@@ -290,10 +290,14 @@ class Evaluator:
         return (c["vid"].shape[-1], c["text"].shape[0],
                 c["text"].shape[-1], c["ext_scores"] is not None)
 
-    def _decode_group(self, items, params, sharded=False):
+    def _decode_group(self, items, params, sharded=False,
+                      time_sharded=False):
         """Decode V same-bucket items (V videos x Q query rows) in one
         jitted call; with ``sharded`` the stacked batch is placed on the
-        ('data',) mesh so each device decodes its own videos. Returns a
+        ('data',) mesh so each device decodes its own videos; with
+        ``time_sharded`` the video TIME axis is sharded over the mesh
+        instead (sequence parallelism — XLA SPMD partitions the whole
+        program, inserting conv/attention halo exchanges). Returns a
         list of (results, losses) per item."""
         V = len(items)
         c0 = items[0]["chunk"]
@@ -301,7 +305,7 @@ class Evaluator:
             c0["text"].shape[-1]
         has_ext = c0["ext_scores"] is not None
         decode, points_np = self._decode_fn(T, Q, L, has_ext, V)
-        points_t = self._points_device(T, points_np, sharded)
+        points_t = self._points_device(T, points_np, sharded or time_sharded)
 
         t_fwd = time.perf_counter()
         cat = lambda k: np.concatenate(  # noqa: E731
@@ -335,6 +339,21 @@ class Evaluator:
                 ext = put(ext)
             if pe_interp is not None:
                 pe_interp = tuple(put(a) for a in pe_interp)
+        elif time_sharded:
+            # sequence parallelism: the three (…, T) video tensors shard
+            # on the time axis, everything else replicates; XLA SPMD
+            # derives the internal shardings and collectives
+            rep = replicated(self.mesh)
+            putt = lambda x: jax.device_put(  # noqa: E731
+                x, time_sharding(self.mesh, np.ndim(x)))
+            putr = lambda x: jax.device_put(x, rep)  # noqa: E731
+            vid, shallow, vmask = putt(vid), putt(shallow), putt(vmask)
+            text, tmask, tcls = putr(text), putr(tmask), putr(tcls)
+            q_valid, targets = putr(q_valid), putr(targets)
+            if ext is not None:
+                ext = putr(ext)
+            if pe_interp is not None:
+                pe_interp = tuple(putr(a) for a in pe_interp)
         elif ext is not None:
             ext = jnp.asarray(ext)
 
@@ -395,7 +414,9 @@ class Evaluator:
         meta, items = self._video_items(sample)
         results, losses = [], []
         for item in items:
-            (r, l), = self._decode_group([item], params)
+            (r, l), = self._decode_group(
+                [item], params,
+                time_sharded=getattr(self, "_time_shard", False))
             results.extend(r)
             losses.extend(l)
         return meta, results, losses
@@ -523,6 +544,19 @@ class Evaluator:
             params = jax.device_put(params, replicated(self.mesh))
             self._run_sharded(params, V, loss_list, dump)
         else:
+            # sequence parallelism over the video time axis
+            # (eval.shard_time): each video's (…, T) tensors shard over
+            # the mesh and ONE forward spans all devices — the
+            # latency-oriented complement to shard_videos' throughput
+            # sharding. shard_time = 0/1 disables.
+            S = int(self.cfg.eval.get("shard_time") or 1)
+            self._time_shard = S > 1 and self.mesh is not None
+            if self._time_shard:
+                assert V <= 1, "shard_videos and shard_time are exclusive"
+                assert jax.process_count() == 1, (
+                    "eval.shard_time shards over this process's mesh "
+                    "devices")
+                params = jax.device_put(params, replicated(self.mesh))
             for samples in self.loader:
                 sample = samples[0]
                 meta, results, losses = self.predict_video(sample, params)

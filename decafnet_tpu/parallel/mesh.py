@@ -43,6 +43,14 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def time_sharding(mesh, ndim):
+    """Shard the trailing (time) axis over the mesh's data axis — sequence
+    parallelism: XLA's SPMD partitioner inserts the halo exchanges for the
+    convolutions / banded attention and the collectives for the few global
+    reductions (delegation top-k, decode)."""
+    return NamedSharding(mesh, P(*([None] * (ndim - 1) + ["data"])))
+
+
 def shard_batch(batch, mesh):
     """Put every array in the batch dict on the mesh, sharded on axis 0.
 
