@@ -51,15 +51,35 @@ def time_sharding(mesh, ndim):
     return NamedSharding(mesh, P(*([None] * (ndim - 1) + ["data"])))
 
 
-def shard_batch(batch, mesh):
-    """Put every array in the batch dict on the mesh, sharded on axis 0.
+# the (…, T) video tensors of a train batch: sharded on the TIME axis in
+# sequence-parallel mode, everything else replicated
+_TIME_KEYS = ("vid", "shallow_vid", "vid_masks")
 
+
+def shard_batch(batch, mesh, axis="data"):
+    """Put every array in the batch dict on the mesh.
+
+    ``axis='data'`` shards on axis 0 (data parallelism).
     Single-process: a plain sharded device_put of the global arrays.
     Multi-process: every process holds only its contiguous axis-0 block
     (the DataLoader's ``shard_within_batch`` mode), and the global array is
     assembled with jax.make_array_from_process_local_data -- the SPMD
     analogue of the reference's per-rank DistributedSampler batches feeding
-    DDP (reference: libs/data/dataset.py:1292, libs/worker_v2.py:279)."""
+    DDP (reference: libs/data/dataset.py:1292, libs/worker_v2.py:279).
+
+    ``axis='time'`` is sequence parallelism (tpu.shard_time): the video
+    tensors shard on their trailing time axis, everything else replicates;
+    XLA SPMD partitions the whole train step (fwd+bwd+optimizer),
+    inserting conv/attention halo exchanges. Single-process only (a
+    MAD-scale long-video device-memory measure, no reference analogue)."""
+    if axis == "time":
+        assert jax.process_count() == 1, (
+            "time-axis sharding is single-process (per-slice) parallelism")
+        rep = replicated(mesh)
+        return {k: (None if v is None else jax.device_put(
+                    v, time_sharding(mesh, np.ndim(v))
+                    if k in _TIME_KEYS else rep))
+                for k, v in batch.items()}
     sh = batch_sharding(mesh)
     n_proc = jax.process_count()
     if n_proc == 1:

@@ -173,10 +173,15 @@ class Trainer:
     def __init__(self, cfg, mesh=None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.tpu.mesh_shape)
+        # sequence-parallel training (tpu.shard_time): the batch replicates
+        # and the video TIME axis shards over the mesh -- XLA SPMD
+        # partitions the whole step (fwd+bwd+optimizer) with halo
+        # exchanges; no batch-divisibility constraint applies
+        self.shard_time = bool(cfg.tpu.get("shard_time", False))
         # data parallelism requires batch_size % mesh size == 0; shrink the
         # mesh to the largest divisor rather than failing
         n_dev = self.mesh.devices.size
-        if cfg.train.batch_size % n_dev != 0:
+        if not self.shard_time and cfg.train.batch_size % n_dev != 0:
             keep = 1
             for d in range(1, min(n_dev, cfg.train.batch_size) + 1):
                 if cfg.train.batch_size % d == 0:
@@ -431,7 +436,9 @@ class Trainer:
             self.loader.set_epoch(self.epoch)
             start = time.time()
             for batch in self.loader:
-                batch = shard_batch(batch, self.mesh)
+                batch = shard_batch(
+                    batch, self.mesh,
+                    axis="time" if self.shard_time else "data")
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self._step_fn(self.state, batch,
                                                     step_rng, self.points_t)
