@@ -27,11 +27,16 @@ def init_distributed():
 
 
 def make_mesh(mesh_shape=None, devices=None):
-    """1-D data mesh over the given (default: all) devices."""
+    """Device mesh: 1-D ('data',) by default; a 2-tuple mesh_shape builds a
+    2-D ('data', 'time') mesh for composed data x sequence parallelism
+    (`tpu.mesh_shape: (4, 2)` + `tpu.shard_time: true`)."""
     devices = devices if devices is not None else jax.devices()
     if mesh_shape:
         n = int(np.prod(mesh_shape))
         devices = devices[:n]
+        if len(mesh_shape) == 2:
+            return Mesh(np.asarray(devices).reshape(mesh_shape),
+                        ("data", "time"))
     return Mesh(np.asarray(devices), ("data",))
 
 
@@ -44,11 +49,13 @@ def replicated(mesh):
 
 
 def time_sharding(mesh, ndim):
-    """Shard the trailing (time) axis over the mesh's data axis — sequence
-    parallelism: XLA's SPMD partitioner inserts the halo exchanges for the
-    convolutions / banded attention and the collectives for the few global
-    reductions (delegation top-k, decode)."""
-    return NamedSharding(mesh, P(*([None] * (ndim - 1) + ["data"])))
+    """Shard the trailing (time) axis over the mesh — sequence parallelism:
+    XLA's SPMD partitioner inserts the halo exchanges for the convolutions
+    / banded attention and the collectives for the few global reductions
+    (delegation top-k, decode). On a 1-D mesh the time axis rides the
+    'data' axis; on a 2-D ('data', 'time') mesh it uses 'time'."""
+    ax = "time" if "time" in mesh.axis_names else "data"
+    return NamedSharding(mesh, P(*([None] * (ndim - 1) + [ax])))
 
 
 # the (…, T) video tensors of a train batch: sharded on the TIME axis in
@@ -71,7 +78,11 @@ def shard_batch(batch, mesh, axis="data"):
     tensors shard on their trailing time axis, everything else replicates;
     XLA SPMD partitions the whole train step (fwd+bwd+optimizer),
     inserting conv/attention halo exchanges. Single-process only (a
-    MAD-scale long-video device-memory measure, no reference analogue)."""
+    MAD-scale long-video device-memory measure, no reference analogue).
+
+    ``axis='data+time'`` composes both over a 2-D ('data', 'time') mesh:
+    batch rows shard over 'data' AND each video's time axis shards over
+    'time'."""
     if axis == "time":
         assert jax.process_count() == 1, (
             "time-axis sharding is single-process (per-slice) parallelism")
@@ -79,6 +90,21 @@ def shard_batch(batch, mesh, axis="data"):
         return {k: (None if v is None else jax.device_put(
                     v, time_sharding(mesh, np.ndim(v))
                     if k in _TIME_KEYS else rep))
+                for k, v in batch.items()}
+    if axis == "data+time":
+        assert jax.process_count() == 1, (
+            "data+time sharding is single-process (per-slice) parallelism")
+        assert "time" in mesh.axis_names, (
+            "data+time sharding needs a 2-D ('data', 'time') mesh "
+            "(tpu.mesh_shape: (n_data, n_time))")
+
+        def spec(k, v):
+            if k in _TIME_KEYS:
+                return P("data", *([None] * (np.ndim(v) - 2) + ["time"]))
+            return P("data")
+
+        return {k: (None if v is None else jax.device_put(
+                    v, NamedSharding(mesh, spec(k, v))))
                 for k, v in batch.items()}
     sh = batch_sharding(mesh)
     n_proc = jax.process_count()

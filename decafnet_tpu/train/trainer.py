@@ -173,11 +173,21 @@ class Trainer:
     def __init__(self, cfg, mesh=None):
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(cfg.tpu.mesh_shape)
-        # sequence-parallel training (tpu.shard_time): the batch replicates
-        # and the video TIME axis shards over the mesh -- XLA SPMD
-        # partitions the whole step (fwd+bwd+optimizer) with halo
-        # exchanges; no batch-divisibility constraint applies
+        # sequence-parallel training (tpu.shard_time): the video TIME axis
+        # shards over the mesh -- XLA SPMD partitions the whole step
+        # (fwd+bwd+optimizer) with halo exchanges. On a 1-D mesh the batch
+        # replicates (axis='time'); on a 2-D ('data', 'time') mesh
+        # (tpu.mesh_shape: (n_data, n_time)) batch rows shard over 'data'
+        # simultaneously (axis='data+time').
         self.shard_time = bool(cfg.tpu.get("shard_time", False))
+        self.batch_axis = "data"
+        if self.shard_time:
+            self.batch_axis = ("data+time"
+                               if "time" in self.mesh.axis_names else "time")
+            if self.batch_axis == "data+time":
+                assert cfg.train.batch_size % self.mesh.shape["data"] == 0, (
+                    f"batch {cfg.train.batch_size} must divide the mesh "
+                    f"data axis ({self.mesh.shape['data']})")
         # data parallelism requires batch_size % mesh size == 0; shrink the
         # mesh to the largest divisor rather than failing
         n_dev = self.mesh.devices.size
@@ -436,9 +446,7 @@ class Trainer:
             self.loader.set_epoch(self.epoch)
             start = time.time()
             for batch in self.loader:
-                batch = shard_batch(
-                    batch, self.mesh,
-                    axis="time" if self.shard_time else "data")
+                batch = shard_batch(batch, self.mesh, axis=self.batch_axis)
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self._step_fn(self.state, batch,
                                                     step_rng, self.points_t)
