@@ -85,6 +85,36 @@ def test_time_sharded_eval_matches_single_device(synth):
     del loss0
 
 
+def test_time_sharded_eval_with_ext_scores(synth, tmp_path):
+    """Time sharding composes with per-query external scores (replicated
+    while the video shards): counts must equal the single-device run."""
+    import os
+
+    cfg0 = _cfg(synth, shard_time=0)
+    ev_probe = Evaluator(cfg0, train_time=True)
+    ext_dir = tmp_path / "ext"
+    os.makedirs(ext_dir)
+    rng = np.random.RandomState(1)
+    for vid_id, info in ev_probe.dataset.vid_dict.items():
+        for tid in info["text_ids"]:
+            np.save(ext_dir / f"{tid}.npy",
+                    rng.randn(info["num_clips"]).astype(np.float32))
+
+    cfg0.eval.data.ext_score_dir = str(ext_dir)
+    ev0 = Evaluator(cfg0, train_time=True)
+    params = _params(cfg0, ev0)
+    ev0.run(ema_params=params)
+
+    mesh = make_mesh()
+    cfg1 = _cfg(synth, shard_time=mesh.devices.size)
+    cfg1.eval.data.ext_score_dir = str(ext_dir)
+    ev1 = Evaluator(cfg1, mesh=mesh, train_time=True)
+    ev1.run(ema_params=params)
+
+    np.testing.assert_array_equal(ev1.meter.counts, ev0.meter.counts)
+    assert ev1.meter.text_cnt == ev0.meter.text_cnt
+
+
 def test_time_sharded_reference_exact(synth):
     """Time sharding composes with the reference_exact host-NMS mode: the
     dense candidate tensors fetched to the host must be numerically
