@@ -55,27 +55,38 @@ def modulated_level_scores(fpn_logits, fpn_masks, ext_scores):
 
 class Evaluator:
 
-    def __init__(self, cfg, mesh=None, train_time=False, params=None):
+    def __init__(self, cfg, mesh=None, train_time=False, params=None,
+                 build_loader=True):
         self.cfg = cfg
         self.train_time = train_time
 
-        self.dataset = make_dataset(cfg, is_training=False)
-        # multi-process eval: each process evaluates its own rank-strided
-        # video shard with its local devices (loading ONLY that shard --
-        # the rank shard is applied before any feature IO), then the
-        # RecallMeter counts and loss sums are allgathered before the table.
-        # Exceeds the reference, whose Evaluator is strictly bs=1
-        # single-process (libs/worker_v2.py:739).
-        n_proc = jax.process_count()
-        self.shard_proc = (n_proc > 1
-                           and bool(cfg.eval.get("shard_processes", True)))
-        rank = jax.process_index() if self.shard_proc else 0
-        world = n_proc if self.shard_proc else 1
-        self.proc_rank, self.proc_world = rank, world
-        self.loader = DataLoader(self.dataset, batch_size=1, shuffle=False,
-                                 drop_last=False, rank=rank,
-                                 world_size=world,
-                                 num_threads=cfg.train.num_workers)
+        if build_loader:
+            self.dataset = make_dataset(cfg, is_training=False)
+            # multi-process eval: each process evaluates its own
+            # rank-strided video shard with its local devices (loading ONLY
+            # that shard -- the rank shard is applied before any feature
+            # IO), then the RecallMeter counts and loss sums are
+            # allgathered before the table. Exceeds the reference, whose
+            # Evaluator is strictly bs=1 single-process
+            # (libs/worker_v2.py:739).
+            n_proc = jax.process_count()
+            self.shard_proc = (n_proc > 1
+                               and bool(cfg.eval.get("shard_processes",
+                                                     True)))
+            rank = jax.process_index() if self.shard_proc else 0
+            world = n_proc if self.shard_proc else 1
+            self.proc_rank, self.proc_world = rank, world
+            self.loader = DataLoader(self.dataset, batch_size=1,
+                                     shuffle=False, drop_last=False,
+                                     rank=rank, world_size=world,
+                                     num_threads=cfg.train.num_workers)
+        else:
+            # loader-free mode (serving: decafnet_tpu/serve.py feeds
+            # samples directly through predict_video)
+            self.dataset = None
+            self.loader = None
+            self.shard_proc = False
+            self.proc_rank, self.proc_world = 0, 1
 
         self.model = make_model(cfg)
         self.params = params

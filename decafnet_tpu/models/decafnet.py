@@ -363,7 +363,9 @@ def make_model(cfg):
     if tpu_cfg and tpu_cfg.get("compute_dtype") in ("bfloat16", "bf16"):
         dtype = jnp.bfloat16
     if tpu_cfg and tpu_cfg.get("remat"):
-        model_cfg["vid_net"] = {**model_cfg["vid_net"], "remat": True}
+        model_cfg["vid_net"] = {
+            **model_cfg["vid_net"], "remat": True,
+            "remat_policy": tpu_cfg.get("remat_policy", "nothing")}
     if name == "iter":
         return DeCafNetIterative(model_cfg, second_fusion=False,
                                  compute_dtype=dtype)

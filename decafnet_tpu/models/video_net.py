@@ -36,6 +36,12 @@ class VideoTransformer(nn.Module):
     pool_only: bool = False
     remat: bool = False  # rematerialize encoder blocks (trade FLOPs for HBM
                          # on long-sequence training, e.g. MAD at 32k)
+    remat_policy: str = "nothing"  # what the checkpointed encoders SAVE:
+        # "nothing" (recompute all -- max HBM saving), "dots" (save matmul
+        # outputs without batch dims; backward skips re-running the
+        # MXU/attention dots and only recomputes the cheap elementwise
+        # passes), "dots_all" (save every dot output). Numerics are
+        # identical across policies -- only the FLOP/HBM trade moves.
 
     def setup(self):
         assert len(self.arch) == 3
@@ -61,8 +67,17 @@ class VideoTransformer(nn.Module):
         # optional rematerialization: recompute encoder activations in the
         # backward pass instead of storing them (jax.checkpoint via
         # nn.remat); deterministic is passed positionally and marked static
-        Encoder = (nn.remat(TransformerEncoder, static_argnums=(3,))
-                   if self.remat else TransformerEncoder)
+        if self.remat:
+            policies = {
+                "nothing": None,  # jax default: save nothing
+                "dots": jax.checkpoint_policies
+                        .dots_with_no_batch_dims_saveable,
+                "dots_all": jax.checkpoint_policies.dots_saveable,
+            }
+            Encoder = nn.remat(TransformerEncoder, static_argnums=(3,),
+                               policy=policies[self.remat_policy])
+        else:
+            Encoder = TransformerEncoder
 
         self.stem = [
             Encoder(

@@ -28,6 +28,10 @@ def main(argv=None):
     parser.add_argument("--T", type=int, default=32768)
     parser.add_argument("--steps", type=int, default=3)
     parser.add_argument("--no-remat", action="store_true")
+    parser.add_argument("--remat-policy", default="nothing",
+                        choices=("nothing", "dots", "dots_all"),
+                        help="what the checkpointed encoders save for the "
+                        "backward pass (numerics identical; FLOP/HBM trade)")
     args = parser.parse_args(argv)
 
     import jax
@@ -48,9 +52,11 @@ def main(argv=None):
     T = args.T
     cfg = bench.build({"model.vid_net.max_seq_len": T})
     cfg.tpu.remat = not args.no_remat
+    cfg.tpu.remat_policy = args.remat_policy
     cfg.data.max_num_text = 1
     cfg.train.batch_size = 1
-    print(f"T={T} remat={cfg.tpu.remat} attention_backend={get_backend()} "
+    print(f"T={T} remat={cfg.tpu.remat} policy={args.remat_policy} "
+          f"attention_backend={get_backend()} "
           f"(pallas dispatched at T>={PALLAS_MIN_T} on TPU)", flush=True)
 
     model = make_model(cfg)
