@@ -104,6 +104,45 @@ def test_service_shape_bucket_reuse(cfg, evaluator_and_params):
     assert len(service._ev._decode_cache) == n_compiled
 
 
+def test_service_from_logdir(cfg, tmp_path):
+    """The serve.py CLI contract: a trained experiment dir (opt.yaml +
+    checkpoint) stands up a service whose detections match an Evaluator
+    loading the same EMA weights."""
+    import os
+
+    from decafnet_tpu.serve import service_from_logdir
+    from decafnet_tpu.train import Trainer
+
+    logdir = str(tmp_path / "exp")
+    cfg = cfg.clone()
+    cfg.aux.logdir = logdir
+    cfg.aux.dryrun = True
+    cfg.train.batch_size = 2
+    cfg.train.microbatch_size = 1
+    cfg.train.epochs = 1
+    cfg.train.warmup_epochs = 0
+    trainer = Trainer(cfg)
+    trainer.run()
+    trainer.checkpoint()
+    os.makedirs(logdir, exist_ok=True)
+    cfg.dump_to_file(os.path.join(logdir, "opt.yaml"))
+
+    service = service_from_logdir(logdir, "last")
+
+    ev_cfg = cfg.clone()
+    ev_cfg.aux.ckpt = "last"
+    ev = Evaluator(ev_cfg)  # loads models/last.msgpack (EMA branch)
+    sample = ev.dataset[0]
+    _, expected, _ = ev.predict_video(sample, ev.params)
+    got = service.ground(**_service_request(sample))
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        np.testing.assert_allclose(
+            np.asarray(g["segments"], np.float32).reshape(-1, 2),
+            np.asarray(e["segments"], np.float32).reshape(-1, 2),
+            rtol=1e-6, atol=1e-6)
+
+
 def test_http_roundtrip(cfg, evaluator_and_params, tmp_path):
     import sys
     sys.path.insert(0, str(__import__("pathlib").Path(
