@@ -38,10 +38,25 @@ class GroundingService:
         if params is not None:
             self._ev.params = params
         self._lock = threading.Lock()  # single-flight: decode serially
+        self._stats_window = 512       # rolling phase-timing retention
 
     @property
     def params(self):
         return self._ev.params
+
+    def stats(self):
+        """Rolling phase wall-times (the reference's four buckets) over the
+        last window of requests; trims the underlying lists so a
+        long-running server doesn't grow without bound."""
+        out = {}
+        for k, v in self._ev.time_dict.items():
+            if len(v) > self._stats_window:
+                del v[:-self._stats_window]
+            if v:
+                out[k] = {"n": len(v),
+                          "mean_ms": round(1e3 * sum(v) / len(v), 3),
+                          "max_ms": round(1e3 * max(v), 3)}
+        return out
 
     def warmup(self, vid_len, num_queries=1, text_len=8,
                vid_dim=None, shallow_dim=None, text_dim=None):
@@ -52,15 +67,65 @@ class GroundingService:
         cs = shallow_dim or cv
         ct = text_dim or cfg.model.text_net.in_dim
         self.ground(
-            np.zeros((cv, vid_len), np.float32),
-            np.zeros((cs, vid_len), np.float32),
-            [np.zeros((ct, text_len), np.float32)] * num_queries,
-            np.zeros((num_queries, cs), np.float32))
+            vid=np.zeros((cv, vid_len), np.float32),
+            shallow_vid=np.zeros((cs, vid_len), np.float32),
+            texts=[np.zeros((ct, text_len), np.float32)] * num_queries,
+            text_cls=np.zeros((num_queries, cs), np.float32))
 
-    def ground(self, vid, shallow_vid, texts, text_cls, *, fps=30.0,
-               duration=None, clip_size=32, clip_stride=16,
-               ext_scores=None):
-        """Ground Q queries against one video.
+    def ground_many(self, requests, max_group=8):
+        """Ground a batch of requests, stacking same-shape-bucket videos
+        into one V-video jitted decode (the Evaluator's ``_decode_group``
+        stacking -- the shape PARITY.md's recorded bench measures at).
+
+        ``requests``: list of dicts of :meth:`ground` keyword arguments.
+        Groups are padded to pow-2 V (inert all-invalid copies, exactly
+        like sharded eval's partial-group flush) so the compile cache
+        stays bounded: one program per (bucket, pow2-V <= max_group).
+        Returns one detections list per request, identical to calling
+        :meth:`ground` per request."""
+        prepared = []                      # (req_idx, meta, items)
+        for i, req in enumerate(requests):
+            prepared.append((i,) + self._prepare(**req))
+
+        by_bucket = {}
+        for i, meta, items in prepared:
+            for item in items:
+                key = self._ev._bucket_key(item)
+                by_bucket.setdefault(key, []).append((i, item))
+
+        out = [[] for _ in requests]       # per-request result lists
+        with self._lock:
+            for key, tagged in by_bucket.items():
+                pos = 0
+                while pos < len(tagged):
+                    group = tagged[pos:pos + max_group]
+                    pos += len(group)
+                    v = 1
+                    while v < len(group):
+                        v *= 2
+                    items = [it for _, it in group]
+                    while len(items) < v:  # inert pad: n_q = 0 rows
+                        items.append({**items[0], "n_q": 0})
+                    per_item = self._ev._decode_group(items,
+                                                      self._ev.params)
+                    for (req_i, item), (results, _) in zip(group, per_item):
+                        out[req_i].append((item["q_start"], results))
+        final = []
+        for (i, meta, _), chunks in zip(prepared, out):
+            results = [None] * meta["num_queries"]
+            for q_start, r in chunks:
+                results[q_start:q_start + len(r)] = r
+            assert all(r is not None for r in results)
+            final.append([{"segments": np.asarray(r["segments"]).tolist(),
+                           "scores": np.asarray(r["scores"]).tolist()}
+                          for r in results])
+        return final
+
+    def _prepare(self, vid, shallow_vid, texts, text_cls, *, fps=30.0,
+                 duration=None, clip_size=32, clip_stride=16,
+                 ext_scores=None):
+        """Validate one request and split it into per-chunk decode work
+        items (the Evaluator's _video_items view). Returns (meta, items).
 
         Args:
           vid: (Cv, t) expert clip features (t = clip grid length).
@@ -71,10 +136,6 @@ class GroundingService:
             (reference: libs/worker_v2.py:1113-1122); duration defaults to
             the grid's full extent.
           ext_scores: optional (Q, t) external score streams.
-
-        Returns a list of Q dicts {"segments": [[s, e], ...] seconds,
-        "scores": [...]}, each at most nms.max_num_segs detections,
-        sorted by decayed score (the SoftNMS emission order).
         """
         vid = np.asarray(vid, np.float32)
         shallow_vid = np.asarray(shallow_vid, np.float32)
@@ -107,8 +168,22 @@ class GroundingService:
         if ext_scores is not None:
             sample["ext_scores"] = np.asarray(ext_scores, np.float32)
 
+        return self._ev._video_items(sample)
+
+    def ground(self, **request):
+        """Ground Q queries against one video (see :meth:`_prepare` for
+        the request fields).
+
+        Returns a list of Q dicts {"segments": [[s, e], ...] seconds,
+        "scores": [...]}, each at most nms.max_num_segs detections,
+        sorted by decayed score (the SoftNMS emission order).
+        """
+        meta, items = self._prepare(**request)
+        results = []
         with self._lock:
-            _, results, _ = self._ev.predict_video(sample, self._ev.params)
+            for item in items:
+                (r, _), = self._ev._decode_group([item], self._ev.params)
+                results.extend(r)
         return [{"segments": np.asarray(r["segments"]).tolist(),
                  "scores": np.asarray(r["scores"]).tolist()}
                 for r in results]

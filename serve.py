@@ -70,36 +70,46 @@ def make_handler(service):
                 import jax
                 self._send(200, {"status": "ok",
                                  "backend": jax.default_backend(),
-                                 "n_devices": len(jax.devices())})
+                                 "n_devices": len(jax.devices()),
+                                 "phase_stats": service.stats()})
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
+        @staticmethod
+        def _request_kwargs(req):
+            texts = req.get("texts")
+            if texts is not None:
+                texts = [np.asarray(x, np.float32) for x in texts]
+            else:
+                texts = _load_field(req, "texts")
+            kwargs = dict(vid=_load_field(req, "vid"),
+                          shallow_vid=_load_field(req, "shallow_vid"),
+                          texts=texts,
+                          text_cls=_load_field(req, "text_cls"))
+            for k in ("fps", "duration", "clip_size", "clip_stride"):
+                if k in req:
+                    kwargs[k] = float(req[k])
+            ext = _load_field(req, "ext_scores", required=False)
+            if ext is not None:
+                kwargs["ext_scores"] = ext
+            return kwargs
+
         def do_POST(self):
-            if self.path != "/ground":
-                self._send(404, {"error": f"unknown path {self.path}"})
-                return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                texts = req.get("texts")
-                if texts is not None:
-                    texts = [np.asarray(x, np.float32) for x in texts]
+                if self.path == "/ground":
+                    detections = service.ground(**self._request_kwargs(req))
+                    self._send(200, {"detections": detections})
+                elif self.path == "/ground_batch":
+                    # list of request objects; same-bucket videos decode
+                    # stacked (V videos x Q rows per jitted call)
+                    batch = [self._request_kwargs(r)
+                             for r in req["requests"]]
+                    results = service.ground_many(batch)
+                    self._send(200, {"detections_batch": results})
                 else:
-                    texts = _load_field(req, "texts")
-                kwargs = {}
-                for k in ("fps", "duration", "clip_size", "clip_stride"):
-                    if k in req:
-                        kwargs[k] = float(req[k])
-                ext = _load_field(req, "ext_scores", required=False)
-                if ext is not None:
-                    kwargs["ext_scores"] = ext
-                detections = service.ground(
-                    _load_field(req, "vid"),
-                    _load_field(req, "shallow_vid"),
-                    texts,
-                    _load_field(req, "text_cls"),
-                    **kwargs)
-                self._send(200, {"detections": detections})
+                    self._send(404, {"error": f"unknown path {self.path}"})
             except Exception as e:  # noqa: BLE001 -- report to the client
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 

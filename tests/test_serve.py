@@ -104,6 +104,42 @@ def test_service_shape_bucket_reuse(cfg, evaluator_and_params):
     assert len(service._ev._decode_cache) == n_compiled
 
 
+def test_ground_many_matches_per_request(cfg, evaluator_and_params):
+    """Batched serving: same-bucket videos decode stacked (V videos x Q
+    rows, pow-2 padded with inert copies); detections must equal the
+    per-request path exactly."""
+    ev, params = evaluator_and_params
+    service = GroundingService(cfg, params=params)
+
+    requests = [_service_request(ev.dataset[i])
+                for i in range(len(ev.dataset))]
+    expected = [service.ground(**r) for r in requests]
+    batched = service.ground_many(requests)
+
+    assert len(batched) == len(expected)
+    for got_video, exp_video in zip(batched, expected):
+        assert len(got_video) == len(exp_video)
+        for g, e in zip(got_video, exp_video):
+            np.testing.assert_allclose(
+                np.asarray(g["segments"], np.float32).reshape(-1, 2),
+                np.asarray(e["segments"], np.float32).reshape(-1, 2),
+                rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(g["scores"]),
+                                       np.asarray(e["scores"]),
+                                       rtol=1e-6, atol=1e-6)
+
+    # if any bucket held >1 video, a stacked (V>1) program must have run
+    buckets = {}
+    for r in requests:
+        _, items = service._prepare(**r)
+        for item in items:
+            k = service._ev._bucket_key(item)
+            buckets[k] = buckets.get(k, 0) + 1
+    if any(v > 1 for v in buckets.values()):
+        assert any(key[4] > 1 for key in service._ev._decode_cache), (
+            "same-bucket videos were not stacked")
+
+
 def test_service_from_logdir(cfg, tmp_path):
     """The serve.py CLI contract: a trained experiment dir (opt.yaml +
     checkpoint) stands up a service whose detections match an Evaluator
