@@ -358,8 +358,8 @@ def _defaults_common(task, delegation=True):
     cfg.tpu.compilation_cache = "~/.cache/decafnet_tpu/xla"  # "" disables
     cfg.tpu.remat = False  # rematerialize video encoder blocks (HBM saver)
     cfg.tpu.remat_policy = "nothing"  # what checkpointed encoders save:
-                                # nothing | dots | dots_all (numerics
-                                # identical; FLOP/HBM trade only)
+                                # nothing | dots (numerics identical;
+                                # FLOP/HBM trade only)
     cfg.tpu.shard_time = False  # sequence-parallel TRAINING: shard the video
                                 # time axis over the mesh (long-video HBM
                                 # measure; batch stays replicated)

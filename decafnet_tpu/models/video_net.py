@@ -37,11 +37,15 @@ class VideoTransformer(nn.Module):
     remat: bool = False  # rematerialize encoder blocks (trade FLOPs for HBM
                          # on long-sequence training, e.g. MAD at 32k)
     remat_policy: str = "nothing"  # what the checkpointed encoders SAVE:
-        # "nothing" (recompute all -- max HBM saving), "dots" (save matmul
-        # outputs without batch dims; backward skips re-running the
-        # MXU/attention dots and only recomputes the cheap elementwise
-        # passes), "dots_all" (save every dot output). Numerics are
-        # identical across policies -- only the FLOP/HBM trade moves.
+        # "nothing" (recompute all -- max HBM saving) or "dots" (save every
+        # dot output: backward skips re-running the MXU/attention matmuls
+        # and only recomputes the cheap elementwise passes -- XLA cost
+        # model at T=8192 recovers ~7G of the ~8.4G recompute FLOPs at the
+        # same temp footprint; jax's dots_WITH_NO_BATCH_DIMS_saveable is
+        # deliberately not offered -- it saves nothing here since every
+        # dot in this model carries batch dims, measured identical to
+        # "nothing"). Numerics are identical across policies -- only the
+        # FLOP/HBM trade moves.
 
     def setup(self):
         assert len(self.arch) == 3
@@ -70,9 +74,7 @@ class VideoTransformer(nn.Module):
         if self.remat:
             policies = {
                 "nothing": None,  # jax default: save nothing
-                "dots": jax.checkpoint_policies
-                        .dots_with_no_batch_dims_saveable,
-                "dots_all": jax.checkpoint_policies.dots_saveable,
+                "dots": jax.checkpoint_policies.dots_saveable,
             }
             Encoder = nn.remat(TransformerEncoder, static_argnums=(3,),
                                policy=policies[self.remat_policy])

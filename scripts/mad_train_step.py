@@ -29,7 +29,7 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=3)
     parser.add_argument("--no-remat", action="store_true")
     parser.add_argument("--remat-policy", default="nothing",
-                        choices=("nothing", "dots", "dots_all"),
+                        choices=("nothing", "dots"),
                         help="what the checkpointed encoders save for the "
                         "backward pass (numerics identical; FLOP/HBM trade)")
     args = parser.parse_args(argv)

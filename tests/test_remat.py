@@ -64,7 +64,7 @@ def test_remat_forward_and_grads_match():
                                    rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("policy", ["dots", "dots_all"])
+@pytest.mark.parametrize("policy", ["dots"])
 def test_remat_policy_grads_match_full_remat(policy):
     """tpu.remat_policy only moves the FLOP/HBM trade (what the checkpointed
     encoders SAVE for the backward pass); outputs and gradients must be
