@@ -325,14 +325,23 @@ class Trainer:
         if not self.is_lead:
             return
         root = self.cfg.aux.logdir
+
+        def _atomic_write(path, data):
+            # tmp + rename (atomic on POSIX within a dir): a preemption
+            # kill mid-write must never leave a truncated msgpack behind
+            # masquerading as a resumable checkpoint
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+
         blob = serialization.to_bytes(jax.device_get(self._model_blob()))
         for name in ("last.msgpack", f"{self.epoch}-{self.itr}.msgpack"):
-            with open(os.path.join(root, "models", name), "wb") as f:
-                f.write(blob)
+            _atomic_write(os.path.join(root, "models", name), blob)
         state_blob = serialization.to_bytes(
             jax.device_get(self._train_state_blob()))
-        with open(os.path.join(root, "states", "last.msgpack"), "wb") as f:
-            f.write(state_blob)
+        _atomic_write(os.path.join(root, "states", "last.msgpack"),
+                      state_blob)
         # torch-layout export for reference interop
         # (reference checkpoint schema: libs/worker_v2.py:675-696)
         try:
@@ -429,12 +438,26 @@ class Trainer:
         self.logger.write("Training started.")
 
         # preemption-signal checkpointing (SURVEY 5.3): a SIGTERM (e.g. TPU
-        # VM preemption) triggers a final checkpoint before exit; training
-        # auto-resumes from it on restart.
+        # VM preemption) requests a final checkpoint; training auto-resumes
+        # from it on restart. The handler ONLY sets a flag: the train step
+        # DONATES the state buffers (donate_argnums), so if the signal
+        # lands while the main thread is inside _step_fn the old state's
+        # arrays are already deleted -- checkpointing from the handler
+        # there crashes with "Array has been deleted" (found by
+        # tests/test_sigterm_checkpoint.py sweeping preemption points).
+        # The loop checkpoints at the next step boundary, where the new
+        # state is guaranteed live.
         import signal
 
+        self._preempted = False
+
         def _on_sigterm(signum, frame):
-            self.logger.write("SIGTERM received; checkpointing for resume.")
+            self.logger.write("SIGTERM received; will checkpoint at the "
+                              "next step boundary.")
+            self._preempted = True
+
+        def _checkpoint_and_exit():
+            self.logger.write("Preemption checkpoint for resume.")
             self.checkpoint()
             raise SystemExit(143)
 
@@ -451,6 +474,8 @@ class Trainer:
                 self.state, metrics = self._step_fn(self.state, batch,
                                                     step_rng, self.points_t)
                 self.itr += 1
+                if self._preempted:
+                    _checkpoint_and_exit()
                 for k in ("cls", "reg", "total"):
                     self.loss_meters.setdefault(k, AverageMeter()).update(
                         float(metrics[k]))
@@ -464,6 +489,8 @@ class Trainer:
                         and self.itr % cfg.aux.eval_run == 0):
                     self.evaluate(self.itr)
             self.epoch += 1
+            if self._preempted:  # signal landed between steps / in eval
+                _checkpoint_and_exit()
             if cfg.aux.eval_by == "epoch":
                 self.evaluate(self.epoch)
             if cfg.aux.dryrun:
