@@ -18,6 +18,7 @@ import math
 import os
 import pickle
 import random as _random
+import time
 from collections import OrderedDict
 
 import numpy as np
@@ -226,7 +227,17 @@ class BaseDataset:
         if vid_id in cache:
             return cache[vid_id]
         loader = VID_LOAD_FUNC[load_name]
-        feats = [loader(os.path.join(d, vid_id), self) for d in dirs]
+        # transient-IO retry, as the reference wraps every video feature
+        # load (10 tries, reference: libs/data/dataset.py:685-691) --
+        # networked feature stores drop reads under load
+        for i in range(10):
+            try:
+                feats = [loader(os.path.join(d, vid_id), self) for d in dirs]
+                break
+            except Exception:  # noqa: BLE001 -- last try re-raises
+                if i == 9:
+                    raise
+                time.sleep(0.05 * (i + 1))
         if len(feats) > 1:
             lens = [len(x) for x in feats]
             max_len, min_len = max(lens), min(lens)

@@ -217,3 +217,40 @@ def test_eval_name_overrides_dataset(synth):
     cfg.eval.data.eval_name = "video_centric_clip"
     ds = make_dataset(cfg, is_training=False)
     assert type(ds) is VideoCentricCLIPDataset
+
+
+def test_feature_load_retries_transient_io(synth, monkeypatch):
+    """Video feature loads retry transient IO errors (the reference wraps
+    every load in a 10-try loop, libs/data/dataset.py:685-691)."""
+    from decafnet_tpu.data import dataset as ds_mod
+
+    cfg = _cfg(synth)
+    ds = make_dataset(cfg, num_epochs=1, is_training=True,
+                      rng=np.random.RandomState(0))
+    vid_id = ds.data_list[0][0]
+
+    real = ds_mod.VID_LOAD_FUNC["npy"]
+    fails = {"n": 0}
+
+    def flaky(path, dataset):
+        if fails["n"] < 3:
+            fails["n"] += 1
+            raise OSError("transient read failure")
+        return real(path, dataset)
+
+    monkeypatch.setitem(ds_mod.VID_LOAD_FUNC, "npy", flaky)
+    monkeypatch.setattr(ds_mod.time, "sleep", lambda s: None)
+    feats = ds._load_vid_feats(vid_id)
+    assert fails["n"] == 3 and feats.ndim == 2
+
+    # a permanent failure still surfaces after 10 tries
+    def broken(path, dataset):
+        fails["n"] += 1
+        raise OSError("permanent failure")
+
+    monkeypatch.setitem(ds_mod.VID_LOAD_FUNC, "npy", broken)
+    ds.vid_feat_cache.clear()
+    fails["n"] = 0
+    with pytest.raises(OSError):
+        ds._load_vid_feats(vid_id)
+    assert fails["n"] == 10
