@@ -48,47 +48,17 @@ def require_tpu(retries=6, wait=10.0):
     /root/.axon_site on it (see CLAUDE.md); a SILENT resolution to XLA:CPU
     (observed once; produced a 51.7 s/step "measurement" vs 190 ms on
     chip) persists for the process lifetime, so fail loudly instead of
-    recording CPU numbers.
+    recording CPU numbers. The wedged-claim watchdog lives in
+    utils/backend.py (shared with the train/eval/serve CLIs).
     """
-    import threading
-
-    import jax
-
-    def _resolve(out):
-        # runs in a daemon thread: the axon claim loop is a blocking
-        # native call that a wedged terminal server never returns from
-        # (observed: >4 h); a signal can't interrupt it, so the watchdog
-        # joins with a timeout and exits the process instead of hanging
-        # the driver forever.
-        try:
-            out["backend"] = jax.default_backend()
-        except BaseException as e:  # noqa: BLE001 -- re-raised on main thread
-            out["err"] = e
-
-    def _backend_or_exit(
-            timeout=float(os.environ.get("DECAFNET_CLAIM_TIMEOUT_S", 600))):
-        out = {}
-        th = threading.Thread(target=_resolve, args=(out,), daemon=True)
-        th.start()
-        th.join(timeout)
-        if th.is_alive():
-            raise SystemExit(
-                f"axon backend init wedged (> {timeout:.0f}s inside the "
-                "chip-claim call; a healthy claim resolves in seconds). "
-                "The terminal/tunnel side is stuck -- restart the "
-                "environment or wait for the lease to clear; retrying "
-                "in-process cannot help (connection options are fixed "
-                "for process lifetime).")
-        if "err" in out:
-            raise out["err"]
-        return out["backend"]
+    from decafnet_tpu.utils.backend import resolve_backend_or_exit
 
     last = None
     for attempt in range(retries):
         if attempt:
             time.sleep(wait)
         try:
-            backend = _backend_or_exit()
+            backend = resolve_backend_or_exit()
         except RuntimeError as e:
             if "known backends" in str(e):  # axon shim not on sys.path
                 raise SystemExit(

@@ -125,11 +125,18 @@ HEADS = {"cls": ClsHead, "reg": RegHead}
 # statistics are computed per stream, and the two final 1/2-channel convs
 # merge into a single block-diagonal conv. Every dot product is unchanged --
 # numerics match the separate heads to fp reassociation (tested in
-# tests/test_dual_head.py). This halves the dominant HBM traffic of the
-# long-sequence heads stage (PARITY round-3 breakdown: fuse_and_predict is
-# 15.2 ms of the 31.5 ms MAD-scale call).
+# tests/test_dual_head.py).
+#
+# Default OFF after the on-chip A/B (MAD scale, T=32768 full decode):
+# dual 36.08 ms vs separate 31.04 ms -- the deeper layers' groups=2 conv
+# hits XLA:TPU's weak grouped-conv emitter (the same pathology that makes
+# groups==channels depthwise convs lower badly, nn/blocks.py), costing more
+# than the saved shared-input reads. The CPU cost model's ~2% bytes saving
+# did not survive contact with the real lowering. The path remains a
+# validated opt-in (`set_dual_head(True)`; equivalence + gradient tests in
+# tests/test_dual_head.py) for backends where grouped convs lower well.
 # ---------------------------------------------------------------------------
-_DUAL_ENABLED = True
+_DUAL_ENABLED = False
 
 
 def set_dual_head(enabled):

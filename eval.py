@@ -54,7 +54,11 @@ def main():
     set_backend(cfg.tpu.attention_backend)
 
     from decafnet_tpu.eval import Evaluator
+    from decafnet_tpu.utils.backend import resolve_backend_or_exit
 
+    # first device touch: resolve under the wedge watchdog (a stuck axon
+    # claim otherwise hangs the CLI forever with no error; CLAUDE.md notes)
+    print(f"backend: {resolve_backend_or_exit()}")
     evaluator = Evaluator(cfg)
     evaluator.run()
     return 0

@@ -47,7 +47,7 @@ def main(argv=None):
                                      make_model, select_points)
     from decafnet_tpu.train.optim import make_optimizer, make_schedule
     from decafnet_tpu.train.trainer import TrainState, build_train_step
-    from decafnet_tpu.ops.local_attention import PALLAS_MIN_T, get_backend
+    from decafnet_tpu.ops.local_attention import get_backend
 
     T = args.T
     cfg = bench.build({"model.vid_net.max_seq_len": T})
@@ -57,7 +57,7 @@ def main(argv=None):
     cfg.train.batch_size = 1
     print(f"T={T} remat={cfg.tpu.remat} policy={args.remat_policy} "
           f"attention_backend={get_backend()} "
-          f"(pallas dispatched at T>={PALLAS_MIN_T} on TPU)", flush=True)
+          f"('auto' resolves to diag at every shape)", flush=True)
 
     model = make_model(cfg)
     rng = np.random.RandomState(0)

@@ -130,7 +130,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from decafnet_tpu.serve import service_from_logdir
+    from decafnet_tpu.utils.backend import resolve_backend_or_exit
 
+    # first device touch: resolve under the wedge watchdog (a stuck axon
+    # claim otherwise hangs the CLI forever with no error; CLAUDE.md notes)
+    print(f"backend: {resolve_backend_or_exit()}")
     service = service_from_logdir(args.name, args.ckpt, args.set_cfgs)
     for spec in args.warmup:
         t, q, l = (int(x) for x in spec.split(","))

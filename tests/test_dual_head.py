@@ -14,7 +14,11 @@ import jax.numpy as jnp
 
 from decafnet_tpu.core import get_cfg_defaults, update_opt
 from decafnet_tpu.models import make_model
+from decafnet_tpu.models import heads as _heads
 from decafnet_tpu.models.heads import set_dual_head
+
+# module default (flipped OFF after the on-chip A/B; heads.py)
+_DUAL_DEFAULT = _heads._DUAL_ENABLED
 
 RNG = np.random.RandomState(0)
 
@@ -67,7 +71,7 @@ def test_dual_matches_separate(name):
     try:
         out_sep = model.apply(params, *inputs, deterministic=True)
     finally:
-        set_dual_head(True)
+        set_dual_head(_DUAL_DEFAULT)
 
     flat_d, tree_d = jax.tree_util.tree_flatten(out_dual)
     flat_s, tree_s = jax.tree_util.tree_flatten(out_sep)
@@ -94,7 +98,7 @@ def test_dual_param_tree_identical():
         p_sep = model.init(jax.random.PRNGKey(0), *inputs,
                            deterministic=True)
     finally:
-        set_dual_head(True)
+        set_dual_head(_DUAL_DEFAULT)
 
     paths_d = {"/".join(map(str, p))
                for p, _ in jax.tree_util.tree_flatten_with_path(p_dual)[0]}
@@ -129,7 +133,7 @@ def test_dual_grad_matches_separate():
     try:
         g_sep = jax.grad(loss)(params)
     finally:
-        set_dual_head(True)
+        set_dual_head(_DUAL_DEFAULT)
 
     for (pa, a), (pb, b) in zip(
             jax.tree_util.tree_flatten_with_path(g_dual)[0],

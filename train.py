@@ -53,7 +53,11 @@ def main():
         "only train.version=2 is implemented (set `train: {version: 2}`)")
 
     from decafnet_tpu.train import Trainer
+    from decafnet_tpu.utils.backend import resolve_backend_or_exit
 
+    # first device touch: resolve under the wedge watchdog (a stuck axon
+    # claim otherwise hangs the CLI forever with no error; CLAUDE.md notes)
+    print(f"backend: {resolve_backend_or_exit()}")
     mesh = make_mesh(cfg.tpu.mesh_shape)
     trainer = Trainer(cfg, mesh=mesh)
     trainer.run()
