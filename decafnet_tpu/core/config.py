@@ -363,6 +363,9 @@ def _defaults_common(task, delegation=True):
     cfg.tpu.shard_time = False  # sequence-parallel TRAINING: shard the video
                                 # time axis over the mesh (long-video HBM
                                 # measure; batch stays replicated)
+    cfg.tpu.video_major_train = True  # run vid_map once per VIDEO in the
+                                # train step (grads identical to per-row;
+                                # auto-falls-back when cdrop > 0 / sfonly)
     return cfg
 
 

@@ -200,15 +200,23 @@ class DeCafNetIterative(nn.Module):
     def __call__(self, vid, shallow_vid, vid_masks, text, text_cls,
                  text_masks, deterministic=True, pe_interp=None,
                  queries_per_video=1):
-        """``queries_per_video`` > 1 activates the video-major eval path:
+        """``queries_per_video`` > 1 activates the video-major path:
         ``vid``/``shallow_vid``/``vid_masks`` carry V videos while the text
         inputs carry V*Q rows (row r belongs to video r // Q); per-video
-        work (the vid_map projection) is computed once per video. Only for
-        deterministic (eval) calls; numerics match the per-row path to fp
-        reassociation."""
+        work (the vid_map projection and the expert-stream read) is
+        computed once per video. Available to training too whenever
+        channel dropout is off (the default, libs/core/opt.py:104): with
+        cdrop == 0 the only pre-projection stochastic op is the identity,
+        so the grouped projection is the same function of the parameters
+        -- gradients match the per-row path to fp reassociation
+        (tests/test_grouped_eval.py::test_train_grads_match_grouped).
+        With cdrop > 0 the reference applies Dropout1d per QUERY ROW on
+        the delegated 2C input (libs/modeling/model.py:614), which does
+        not commute with the hoisted projection -- fall back to rows."""
         m = self.cfg
         Q = queries_per_video
-        if Q > 1 and deterministic and not m.get("sfonly", False):
+        grouped_ok = deterministic or m["vid_net"].get("cdrop", 0.0) == 0.0
+        if Q > 1 and grouped_ok and not m.get("sfonly", False):
             vid, vm = self._delegate_project_grouped(
                 vid, shallow_vid, vid_masks, text_cls, Q)
         else:

@@ -58,15 +58,31 @@ def build_microbatch_loss(model, cfg):
         vid_stride=cfg.model.vid_stride,
     )
 
-    def microbatch_loss(params, mb, rng, loss_norm, points_t):
-        vid = jnp.repeat(mb["vid"], max_num_text, axis=0)
-        shallow = jnp.repeat(mb["shallow_vid"], max_num_text, axis=0)
-        vmask = jnp.repeat(mb["vid_masks"], max_num_text, axis=0)
+    # video-major training (round-4): with channel dropout off (the
+    # default; reference libs/core/opt.py:104) the vid_map projection and
+    # the expert-stream read commute with the per-query row expansion, so
+    # the model's grouped path (queries_per_video) runs them once per
+    # VIDEO instead of once per query row -- the same structural win the
+    # eval path already has. Gradient equality to the per-row expansion:
+    # tests/test_grouped_eval.py::test_train_grads_match_grouped. The
+    # model itself falls back to rows when cdrop > 0 or sfonly.
+    video_major = bool(cfg.tpu.get("video_major_train", True))
 
-        logits1, logits2, offsets, masks = model.apply(
-            {"params": params}, vid, shallow, vmask,
-            mb["text"], mb["text_cls"], mb["text_masks"],
-            deterministic=False, rngs={"dropout": rng})
+    def microbatch_loss(params, mb, rng, loss_norm, points_t):
+        if video_major:
+            logits1, logits2, offsets, masks = model.apply(
+                {"params": params}, mb["vid"], mb["shallow_vid"],
+                mb["vid_masks"], mb["text"], mb["text_cls"],
+                mb["text_masks"], deterministic=False,
+                rngs={"dropout": rng}, queries_per_video=max_num_text)
+        else:
+            vid = jnp.repeat(mb["vid"], max_num_text, axis=0)
+            shallow = jnp.repeat(mb["shallow_vid"], max_num_text, axis=0)
+            vmask = jnp.repeat(mb["vid_masks"], max_num_text, axis=0)
+            logits1, logits2, offsets, masks = model.apply(
+                {"params": params}, vid, shallow, vmask,
+                mb["text"], mb["text_cls"], mb["text_masks"],
+                deterministic=False, rngs={"dropout": rng})
 
         logits1 = jnp.concatenate(logits1, axis=1)       # (R, P)
         logits2 = jnp.concatenate(logits2, axis=1)

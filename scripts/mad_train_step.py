@@ -26,8 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--T", type=int, default=32768)
+    parser.add_argument("--Q", type=int, default=1,
+                        help="queries per video (data.max_num_text); >1 "
+                        "exercises the video-major train path")
     parser.add_argument("--steps", type=int, default=3)
     parser.add_argument("--no-remat", action="store_true")
+    parser.add_argument("--no-video-major", action="store_true",
+                        help="force the per-query-row expansion "
+                        "(tpu.video_major_train=False) for the A/B")
     parser.add_argument("--remat-policy", default="nothing",
                         choices=("nothing", "dots"),
                         help="what the checkpointed encoders save for the "
@@ -53,9 +59,12 @@ def main(argv=None):
     cfg = bench.build({"model.vid_net.max_seq_len": T})
     cfg.tpu.remat = not args.no_remat
     cfg.tpu.remat_policy = args.remat_policy
-    cfg.data.max_num_text = 1
+    cfg.tpu.video_major_train = not args.no_video_major
+    Q = args.Q
+    cfg.data.max_num_text = Q
     cfg.train.batch_size = 1
-    print(f"T={T} remat={cfg.tpu.remat} policy={args.remat_policy} "
+    print(f"T={T} Q={Q} remat={cfg.tpu.remat} policy={args.remat_policy} "
+          f"video_major={cfg.tpu.video_major_train} "
           f"attention_backend={get_backend()} "
           f"('auto' resolves to diag at every shape)", flush=True)
 
@@ -67,17 +76,18 @@ def main(argv=None):
         "vid": rng.randn(1, cv, T).astype(np.float32),
         "shallow_vid": rng.randn(1, cv, T).astype(np.float32),
         "vid_masks": np.ones((1, T), bool),
-        "text": rng.randn(1, ct, L).astype(np.float32),
-        "text_masks": np.ones((1, L), bool),
-        "text_cls": rng.randn(1, cv).astype(np.float32),
-        "targets": np.asarray([[0.1 * T, 0.4 * T]], np.float32),
-        "row_valid": np.ones((1,), bool),
+        "text": rng.randn(Q, ct, L).astype(np.float32),
+        "text_masks": np.ones((Q, L), bool),
+        "text_cls": rng.randn(Q, cv).astype(np.float32),
+        "targets": np.asarray([[0.1 * T, 0.4 * T]] * Q, np.float32),
+        "row_valid": np.ones((Q,), bool),
     }
 
     params = model.init(jax.random.PRNGKey(0), batch["vid"],
                         batch["shallow_vid"], batch["vid_masks"],
                         batch["text"], batch["text_cls"],
-                        batch["text_masks"], deterministic=True)["params"]
+                        batch["text_masks"], deterministic=True,
+                        queries_per_video=Q)["params"]
 
     lens = fpn_lengths(T // cfg.model.vid_stride, cfg.model.num_fpn_levels)
     pts = generate_points(max(cfg.pt_gen.max_seq_len, T * 4),

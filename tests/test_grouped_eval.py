@@ -123,3 +123,69 @@ def test_variants_accept_video_major_batches(name):
     for s_group, g_group in zip(std, grp):
         for s, g in zip(s_group, g_group):
             np.testing.assert_array_equal(np.asarray(s), np.asarray(g))
+
+
+def test_train_grads_match_grouped():
+    """Round-4: the TRAIN step uses the video-major path too (vid_map once
+    per video, decafnet_tpu/train/trainer.py:build_microbatch_loss). With
+    channel dropout off (the default) gradients must match the per-row
+    expansion exactly -- INCLUDING with the other dropouts ACTIVE, which
+    proves the rng path (downstream of the row expansion, where all row
+    shapes coincide) is byte-identical between the two formulations."""
+    from decafnet_tpu.models import (fpn_lengths, generate_points,
+                                     select_points)
+    from decafnet_tpu.train import build_microbatch_loss
+
+    cfg = _cfg(msf=True, scat=True)
+    cfg.data.max_num_text = 2
+    assert cfg.model.vid_net.proj_pdrop > 0  # dropout genuinely active
+    update_opt(cfg)
+    model = make_model(cfg)
+    V, Q, T = 2, 2, 64
+    cv, ct = cfg.model.vid_net.in_dim, cfg.model.text_net.in_dim
+    vid, shallow, vm, text, tcls, tm = _inputs(V, Q, T, cv, ct,
+                                               L=cfg.data.max_text_len)
+    mb = {
+        "vid": jnp.asarray(vid), "shallow_vid": jnp.asarray(shallow),
+        "vid_masks": jnp.asarray(vm), "text": jnp.asarray(text),
+        "text_masks": jnp.asarray(tm), "text_cls": jnp.asarray(tcls),
+        "targets": jnp.asarray(
+            RNG.uniform(1, 50, (V * Q, 2)).astype(np.float32)),
+        "row_valid": jnp.asarray([True, True, True, False]),
+    }
+    params = model.init(jax.random.PRNGKey(0),
+                        np.repeat(vid, Q, 0), np.repeat(shallow, Q, 0),
+                        np.repeat(vm, Q, 0), text, tcls, tm,
+                        deterministic=True)["params"]
+    lens = fpn_lengths(T // cfg.model.vid_stride, cfg.model.num_fpn_levels)
+    pts = generate_points(cfg.pt_gen.max_seq_len, cfg.pt_gen.num_fpn_levels,
+                          cfg.pt_gen.regression_range, cfg.pt_gen.sigma)
+    points_t = jnp.asarray(np.ascontiguousarray(
+        np.concatenate(select_points(pts, lens)).T))
+
+    grads, metrics = {}, {}
+    for mode in (True, False):
+        cfg.tpu.video_major_train = mode
+        loss_fn = build_microbatch_loss(model, cfg)
+        (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, mb, jax.random.PRNGKey(7), jnp.float32(100.0), points_t)
+        grads[mode], metrics[mode] = jax.device_get(g), jax.device_get(m)
+
+    for k in ("cls", "reg", "total", "norm"):
+        np.testing.assert_allclose(metrics[True][k], metrics[False][k],
+                                   rtol=1e-5, atol=1e-7, err_msg=k)
+    flat_a = jax.tree_util.tree_leaves_with_path(grads[True])
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(grads[False]))
+    for path, a in flat_a:
+        b = flat_b[path]
+        # attention KEY biases have mathematically ZERO gradient (a constant
+        # added to every key shifts all scores per query equally --
+        # softmax-invariant); both formulations see only fp summation noise
+        # there (~1e-10 observed), with different summation orders, so
+        # relative comparison is meaningless. Require both sides noise-sized.
+        if max(np.abs(a).max(), np.abs(b).max()) <= 1e-8:
+            continue
+        scale = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(
+            a, b, rtol=2e-4, atol=2e-5 * scale,
+            err_msg=jax.tree_util.keystr(path))
