@@ -48,6 +48,29 @@ def trunc_normal_init(std=0.02):
     return init
 
 
+# Depthwise-conv3 shift-multiply-add fast path (see Conv1d.__call__).
+# Module-level so the full-program A/B (scripts/mad_eval_ab.py --axis dw)
+# can flip it. The round-4 on-chip full-program A/B is shape-dependent:
+# NLQ scale (T=2304, Q=8) shift-FMA wins 1.6% (5.34 vs 5.43 ms); MAD scale
+# (T=32768, Q=2) the general-conv lowering wins 1.5-1.8% across two runs
+# (30.67 vs 31.13 / 30.57 vs 31.11 ms) —
+# at very long T the three shifted operand copies stop fitting the fusion's
+# working set. _SHIFT_DW_MAX_T dispatches per length: shift-FMA below,
+# conv_general_dilated at/above.
+_SHIFT_DW_ENABLED = True
+_SHIFT_DW_MAX_T = 16384
+
+
+def set_depthwise_shift(enabled, max_t=None):
+    """Toggle the depthwise-conv3 shift-FMA fast path (A/B harness hook).
+    ``max_t`` optionally overrides the length-dispatch threshold
+    (None keeps the current one; pass float('inf') for always-on)."""
+    global _SHIFT_DW_ENABLED, _SHIFT_DW_MAX_T
+    _SHIFT_DW_ENABLED = bool(enabled)
+    if max_t is not None:
+        _SHIFT_DW_MAX_T = max_t
+
+
 class Conv1d(nn.Module):
     """1D convolution storing weights in the torch (out, in, k) layout.
 
@@ -83,7 +106,8 @@ class Conv1d(nn.Module):
             self.bias = None
 
     def __call__(self, x):
-        if (self.groups == self.in_channels == self.out_channels
+        if (_SHIFT_DW_ENABLED and x.shape[-1] < _SHIFT_DW_MAX_T
+                and self.groups == self.in_channels == self.out_channels
                 and self.kernel_size == 3 and self.padding == 1
                 and self.dilation == 1):
             # depthwise conv3 as shift-multiply-add: XLA:TPU lowers

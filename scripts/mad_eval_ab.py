@@ -39,7 +39,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--T", type=int, default=32768)
     parser.add_argument("--Q", type=int, default=2)
-    parser.add_argument("--axis", choices=["dual", "fused", "none"],
+    parser.add_argument("--axis", choices=["dual", "fused", "dw", "none"],
                         default="dual")
     args = parser.parse_args(argv)
 
@@ -51,14 +51,19 @@ def main(argv=None):
 
     import bench
     bench.require_tpu()
-    from decafnet_tpu.models.heads import set_dual_head
-    from decafnet_tpu.ops.fused_conv import set_fused_conv
+    from decafnet_tpu.models import heads
+    from decafnet_tpu.nn import blocks
+    from decafnet_tpu.ops import fused_conv
 
     if args.axis == "none":
         measure("current-defaults", args.Q, args.T)
         return 0
 
-    setter = set_dual_head if args.axis == "dual" else set_fused_conv
+    setter, default = {
+        "dual": (heads.set_dual_head, heads._DUAL_ENABLED),
+        "fused": (fused_conv.set_fused_conv, fused_conv._FUSED_ENABLED),
+        "dw": (blocks.set_depthwise_shift, blocks._SHIFT_DW_ENABLED),
+    }[args.axis]
     results = {}
     for enabled in (True, False):
         setter(enabled)
@@ -66,8 +71,7 @@ def main(argv=None):
             results[enabled] = measure(f"{args.axis}={enabled}",
                                        args.Q, args.T)
         finally:
-            setter(args.axis == "dual")  # restore defaults (dual on,
-            set_fused_conv(False)        # fused off)
+            setter(default)  # restore the module default captured above
     faster = min(results, key=results.get)
     print(f"{args.axis}={faster} is faster by "
           f"{(max(results.values()) / min(results.values()) - 1) * 100:.1f}%",
