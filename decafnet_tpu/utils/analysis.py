@@ -81,6 +81,82 @@ def compute_iou_by_length(results, bins=(0, 5, 10, 20, 40, np.inf)):
     return out
 
 
+class _RefVideo:
+    """Attribute bag standing in for the reference's ``Video`` during
+    unpickling (reference: libs/helper/utils.py:15-18). Instances are
+    created by ``pickle`` via ``__reduce__`` machinery, so no ctor args."""
+
+
+class _RefCheckpoint:
+    """Stand-in for the reference's ``Checkpoint`` (libs/helper/utils.py:21-91)."""
+
+
+class _RefUnpickler(pickle.Unpickler):
+    """Unpickles reference result dumps WITHOUT the reference package on
+    sys.path: the reference pickles `libs.helper.utils.Checkpoint`/`Video`
+    class instances by module path; we remap those two names onto local
+    attribute-bag shims and let everything else (numpy, torch tensors)
+    resolve normally."""
+
+    _REMAP = {
+        ("libs.helper.utils", "Checkpoint"): _RefCheckpoint,
+        ("libs.helper.utils", "Video"): _RefVideo,
+    }
+
+    def find_class(self, module, name):
+        cls = self._REMAP.get((module, name))
+        if cls is not None:
+            return cls
+        return super().find_class(module, name)
+
+
+def _to_numpy(x):
+    """torch tensor -> numpy; passthrough otherwise (no torch import unless
+    the pickle actually contained tensors)."""
+    if hasattr(x, "detach"):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def load_reference_checkpoint(path):
+    """Load a reference-format result pickle into :class:`EvalResults`.
+
+    The reference Evaluator's (disabled-by-default) dump path builds a
+    ``Checkpoint`` holding per-video ``Video`` records with ``abs_target``
+    (segments in seconds, (n, 2)) and ``results`` (list per query of
+    {'segments': (k, 2) tensor, 'scores': (k,) tensor})
+    (reference: libs/worker_v2.py:839-855,916-919; containers
+    libs/helper/utils.py:15-91; consumed by libs/helper/analysis.py:4-40).
+    This loader reads those pickles without the reference package
+    installed, so real-data runs can be diffed tool-to-tool against
+    reference dumps. Extra per-video attributes (tid, loss, rel_target,
+    outputs, ...) are preserved under the 'ref_extra' key.
+    """
+    with open(path, "rb") as f:
+        ckpt = _RefUnpickler(f).load()
+    if not isinstance(ckpt, _RefCheckpoint):
+        raise ValueError(
+            f"{path} is not a reference Checkpoint pickle "
+            f"(got {type(ckpt).__name__})")
+    out = EvalResults(tag=f"ref-ckpt-{getattr(ckpt, 'iteration', '?')}")
+    core = {"vname", "abs_target", "results"}
+    for vname, video in ckpt.videos.items():
+        results = getattr(video, "results", [])
+        out.videos.append({
+            "vid_id": vname,
+            "targets": _to_numpy(video.abs_target).astype(np.float64),
+            "detections": [
+                {"segments": _to_numpy(r["segments"]).astype(np.float32),
+                 "scores": _to_numpy(r["scores"]).astype(np.float32)}
+                for r in results
+            ],
+            "losses": getattr(video, "loss", None),
+            "ref_extra": {k: v for k, v in vars(video).items()
+                          if k not in core},
+        })
+    return out
+
+
 def compute_iou(intervals1, intervals2):
     """Pairwise interval IoU between two lists of (start, end) intervals,
     returned as (s1, e1, s2, e2, iou) tuples in pair order

@@ -102,3 +102,74 @@ def test_compute_iou_and_interpolate_array():
     yn = interpolate_array(x, 7, kind="nearest")
     assert yn.shape == (7,)
     assert set(yn) <= set(x)
+
+
+def test_load_reference_checkpoint_roundtrip(tmp_path):
+    """Round-trip vs a Checkpoint-format file written by the REAL reference
+    helper (libs/helper/utils.py:15-91): the reference's (disabled) dump
+    path pickles libs.helper.utils.Checkpoint/Video instances holding torch
+    tensors; our loader must read them without the reference on sys.path
+    and agree with the reference's own analysis bucketing."""
+    import pickle
+    import sys
+
+    import torch
+
+    from conftest import setup_reference_imports
+    from decafnet_tpu.utils.analysis import load_reference_checkpoint
+
+    setup_reference_imports()
+    from libs.helper import utils as ref_utils
+
+    ckpt = ref_utils.Checkpoint(iteration=36000)
+    v0 = ref_utils.Video("vid0")
+    v0.tid = ["q0", "q1"]
+    v0.abs_target = np.array([[0.0, 4.0], [10.0, 40.0]])
+    v0.results = [
+        {"segments": torch.tensor([[0.0, 4.0], [50.0, 60.0]]),
+         "scores": torch.tensor([0.9, 0.5])},
+        {"segments": torch.tensor([[10.0, 25.0]]),
+         "scores": torch.tensor([0.8])},
+    ]
+    v0.loss = {"focal": 0.25}
+    v1 = ref_utils.Video("vid1")
+    v1.abs_target = np.zeros((0, 2))
+    v1.results = []
+    ckpt.add_videos([v0, v1])
+    path = tmp_path / "ckpt-6-36000.pk"
+    ckpt.save(str(path))
+
+    # loader must work WITHOUT libs.* importable: drop the modules AND the
+    # reference's sys.path entry, then re-read through our remapping unpickler
+    saved = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k == "libs" or k.startswith("libs.")}
+    saved_path = list(sys.path)
+    sys.path[:] = [p for p in sys.path if "reference" not in p]
+    try:
+        with open(str(path), "rb") as f:
+            try:
+                pickle.load(f)
+            except Exception:
+                pass  # plain pickle indeed cannot resolve libs.helper.utils
+            else:
+                raise AssertionError("expected plain pickle.load to fail")
+        res = load_reference_checkpoint(str(path))
+    finally:
+        sys.path[:] = saved_path
+        sys.modules.update(saved)
+
+    assert res.tag == "ref-ckpt-36000"
+    assert [v["vid_id"] for v in res.videos] == ["vid0", "vid1"]
+    rv = res.videos[0]
+    np.testing.assert_array_equal(rv["targets"], v0.abs_target)
+    np.testing.assert_allclose(rv["detections"][0]["segments"],
+                               [[0.0, 4.0], [50.0, 60.0]])
+    np.testing.assert_allclose(rv["detections"][1]["scores"], [0.8])
+    assert rv["losses"] == {"focal": 0.25}
+    assert rv["ref_extra"]["tid"] == ["q0", "q1"]
+
+    # analysis tooling consumes loaded reference dumps directly, matching
+    # the reference's compute_iou_by_length semantics on the same data
+    buckets = compute_iou_by_length(res, bins=(0, 5, np.inf))
+    assert buckets[(0, 5)] == (1.0, 1)
+    np.testing.assert_allclose(buckets[(5, np.inf)][0], 0.5)
