@@ -16,6 +16,7 @@ datasets ship precomputed CLIP token features, libs/data/dataset.py:804+).
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -90,16 +91,68 @@ class GloVeTokenizer:
 
 TOKENIZERS = {"glove": GloVeTokenizer}
 
+# The reference fetches GloVe-6B through torchtext from this mirror
+# (reference: libs/data/tokenizer.py:19); we fetch the same archive
+# directly (no torchtext dependency) into a local cache.
+GLOVE_URLS = {
+    "6B": "https://huggingface.co/stanfordnlp/glove/resolve/main/"
+          "glove.6B.zip",
+}
+_DEFAULT_GLOVE_DIM = {"6B": 300}  # torchtext's GloVe(name='6B') default
+
+
+def fetch_glove(name="6B", dim=None, cache_dir=None):
+    """Download + extract GloVe vectors, returning the local txt path
+    (torchtext-equivalent auto-fetch, reference: libs/data/tokenizer.py:
+    15-44). The download is cached; offline environments with a warm cache
+    never touch the network, and a cold cache raises a clear error."""
+    import urllib.error
+    import urllib.request
+    import zipfile
+
+    dim = dim or _DEFAULT_GLOVE_DIM[name]
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "decafnet_tpu", "glove")
+    txt = os.path.join(cache_dir, f"glove.{name}.{dim}d.txt")
+    if os.path.exists(txt):
+        return txt
+    os.makedirs(cache_dir, exist_ok=True)
+    url = GLOVE_URLS[name]
+    archive = os.path.join(cache_dir, os.path.basename(url))
+    if not os.path.exists(archive):
+        tmp = archive + ".part"
+        try:
+            urllib.request.urlretrieve(url, tmp)
+        except (urllib.error.URLError, OSError) as e:
+            raise RuntimeError(
+                f"GloVe auto-fetch from {url} failed ({e}); download "
+                f"manually and pass vectors_path, or warm {cache_dir}"
+            ) from e
+        os.replace(tmp, archive)
+    with zipfile.ZipFile(archive) as z:
+        member = os.path.basename(txt)
+        names = z.namelist()
+        if member not in names:
+            raise RuntimeError(
+                f"{archive} has no {member}; archive contains {names}")
+        z.extract(member, cache_dir)
+    return txt
+
 
 def make_tokenizer(spec):
-    """Factory. ``spec`` may be None, a name, or a {name, **kwargs} dict
-    (reference: libs/data/tokenizer.py:44 -- but file-path based here)."""
+    """Factory. ``spec`` may be None, a name ('glove' auto-fetches GloVe-6B
+    like the reference's torchtext path, libs/data/tokenizer.py:15-44), or
+    a {name, **kwargs} dict; dict specs accept either ``vectors_path`` (a
+    local GloVe-format txt) or auto-fetch kwargs (``fetch``/``dim``/
+    ``cache_dir``)."""
     if spec is None:
         return None
     if isinstance(spec, str):
-        raise ValueError(
-            "glove tokenizer needs a vectors file: pass "
-            "{'name': 'glove', 'vectors_path': ...}")
+        spec = {"name": spec}
     spec = dict(spec)
     name = spec.pop("name")
+    if name == "glove" and "vectors_path" not in spec:
+        spec["vectors_path"] = fetch_glove(
+            spec.pop("fetch", "6B"), dim=spec.get("dim"),
+            cache_dir=spec.pop("cache_dir", None))
     return TOKENIZERS[name](**spec)

@@ -185,6 +185,49 @@ def test_glove_tokenizer(tmp_path):
     assert tok("cap").T.tolist() == [[0.1, 0.2]] or True  # lc backup path
 
 
+def test_glove_auto_fetch(tmp_path, monkeypatch):
+    """torchtext-equivalent GloVe auto-fetch (reference:
+    libs/data/tokenizer.py:15-44): make_tokenizer('glove') downloads the
+    6B archive into a cache (mocked here), extracts the txt, caches for
+    reuse, and offline cold-cache failures raise a clear error."""
+    import io
+    import zipfile
+
+    from decafnet_tpu.data.tokenizer import fetch_glove, make_tokenizer
+
+    calls = []
+
+    def fake_urlretrieve(url, dst):
+        calls.append(url)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            z.writestr("glove.6B.300d.txt", "the 1.0 0.0\ncat 0.0 1.0\n")
+        open(dst, "wb").write(buf.getvalue())
+
+    import urllib.request
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_urlretrieve)
+    cache = str(tmp_path / "cache")
+
+    tok = make_tokenizer({"name": "glove", "cache_dir": cache})
+    feats = tok("the cat")
+    assert feats.shape == (2, 2)
+    np.testing.assert_allclose(feats[:, 1], [0.0, 1.0])
+    assert len(calls) == 1 and "glove.6B.zip" in calls[0]
+
+    # warm cache: no second download
+    fetch_glove(cache_dir=cache)
+    assert len(calls) == 1
+
+    # cold cache + no network -> clear error naming the url and cache
+    def dead_urlretrieve(url, dst):
+        raise OSError("no network")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", dead_urlretrieve)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="auto-fetch"):
+        fetch_glove(cache_dir=str(tmp_path / "cold"))
+
+
 def test_group_method_random_and_all(synth):
     """group_method 'random'/'all' keeps every query of a video in one
     sample; at item time 'random' sub-samples to max_num_text
