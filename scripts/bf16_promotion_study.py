@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""bf16 promotion study (round-4, VERDICT item 4).
+
+Round-3's bf16 validation rested on ONE weakly trained model (130 steps;
+one borderline R@5 count flipped). This study gathers the promotion
+evidence properly: for each of ``--seeds`` training seeds, train the
+synthetic config substantially longer (``--steps``, default 600 — the
+model overfits the synthetic set, so logits are confident and borderline
+low-score detections stop dominating the comparison), then evaluate the
+SAME checkpoint in f32 and bf16 compute and record:
+
+  * the R@{1,5} x IoU@{0.3,0.5} COUNT tables per mode (exact-match check),
+  * per-query top-1 mode-agreement IoU (f32 top-1 segment vs bf16 top-1),
+  * per-query |top-1 IoU-vs-GT delta| between modes.
+
+Emits one JSON (scripts/results/bf16_promotion.json) with per-seed rows
+plus the aggregate verdict against the promotion rule (kept in sync with
+PARITY.md "bf16 promotion criteria"):
+
+  PROMOTE bf16 as the default EVAL mode iff, across >= 3 seeds:
+    R1 counts identical at every threshold, mean mode-agreement IoU
+    >= 0.99, max |top1-IoU-vs-GT delta| <= 0.01, and R5 count flips
+    <= 1 per 100 queries. Training stays f32 regardless (the loss-norm
+    EMA and AdamW moments are parity surfaces).
+
+Runs on the real TPU (bf16 dots are TPU-only; XLA:CPU raises
+UNIMPLEMENTED). Strictly serial chip.
+
+  python scripts/bf16_promotion_study.py [--steps 600] [--seeds 0 1 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+RULE = {
+    "r1_counts": "identical at every IoU threshold, every seed",
+    "mode_agreement_iou_mean": ">= 0.99 every seed",
+    "top1_iou_vs_gt_abs_delta_max": "<= 0.01 every seed",
+    "r5_flips_per_100_queries": "<= 1.0 every seed",
+    "scope": "eval only; training stays f32",
+}
+
+
+def build_cfg(root, paths, seed, steps, itrs_per_epoch=8):
+    from decafnet_tpu.core import (get_cfg_defaults, update_eval_data,
+                                   update_opt)
+    from decafnet_tpu.data import apply_synthetic_cfg
+
+    cfg = get_cfg_defaults("grounder")
+    cfg.model.name = "iter"
+    cfg.model.vid_net.in_dim = 64
+    cfg.model.vid_net.embd_dim = 32
+    cfg.model.vid_net.max_seq_len = 128
+    cfg.model.vid_net.arch = (1, 0, 4)
+    cfg.model.text_net.in_dim = 48
+    cfg.model.text_net.embd_dim = 32
+    cfg.model.text_net.n_layers = 1
+    cfg.model.fusion.n_layers = 1
+    cfg.model.sratio = 0.5
+    cfg.model.sn = 8
+    cfg.train.batch_size = 2
+    cfg.train.microbatch_size = 1
+    cfg.train.num_workers = 0
+    cfg.train.epochs = max(1, steps // itrs_per_epoch)
+    cfg.train.warmup_epochs = 1
+    cfg.eval.max_num_queries = 4
+    cfg.seed = seed
+    cfg.aux.logdir = os.path.join(root, f"seed{seed}")
+    cfg.aux.eval_run = 10 ** 9  # no train-time eval
+    apply_synthetic_cfg(cfg, paths)
+    update_opt(cfg)
+    update_eval_data(cfg)
+    return cfg
+
+
+def interval_iou_1(a, b):
+    inter = max(0.0, min(a[1], b[1]) - max(a[0], b[0]))
+    union = max(a[1], b[1]) - min(a[0], b[0])
+    return inter / union if union > 0 else 0.0
+
+
+def eval_mode(cfg, ema_params, dtype, tag):
+    from decafnet_tpu.eval import Evaluator
+
+    cfg = cfg.clone()
+    cfg.tpu.compute_dtype = dtype
+    cfg.eval.save_results = True
+    ev = Evaluator(cfg, train_time=True)
+    ev.run(ema_params=ema_params, tag=tag)
+    from decafnet_tpu.utils.analysis import EvalResults
+    res = EvalResults.load(os.path.join(cfg.aux.logdir,
+                                        f"results_{tag}.pk"))
+    return ev.meter.counts.copy(), int(ev.meter.text_cnt), res
+
+
+def compare_modes(res_f32, res_bf16):
+    """Per-query top-1 segment agreement between modes + IoU-vs-GT delta."""
+    agree, gt_delta = [], []
+    for v32, v16 in zip(res_f32.videos, res_bf16.videos):
+        assert v32["vid_id"] == v16["vid_id"]
+        for t, d32, d16 in zip(v32["targets"], v32["detections"],
+                               v16["detections"]):
+            if not len(d32["segments"]) or not len(d16["segments"]):
+                continue
+            top32 = d32["segments"][int(np.argmax(d32["scores"]))]
+            top16 = d16["segments"][int(np.argmax(d16["scores"]))]
+            agree.append(interval_iou_1(top32, top16))
+            gt_delta.append(abs(interval_iou_1(top32, t)
+                                - interval_iou_1(top16, t)))
+    return agree, gt_delta
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=600)
+    parser.add_argument("--seeds", type=int, nargs="+", default=(0, 1, 2))
+    parser.add_argument("--root", default="/tmp/bf16_study")
+    parser.add_argument("--out",
+                        default=os.path.join(REPO, "scripts", "results",
+                                             "bf16_promotion.json"))
+    args = parser.parse_args(argv)
+
+    import bench
+    bench.require_tpu()
+
+    from flax import serialization
+    import jax
+
+    from decafnet_tpu.data import make_synthetic_dataset
+    from decafnet_tpu.train import Trainer
+
+    paths = make_synthetic_dataset(
+        os.path.join(args.root, "ds"), num_videos=4, num_queries=3,
+        clip_range=(60, 120), vid_dim=64, shallow_dim=64, text_dim=48,
+        seed=7)
+
+    rows = []
+    for seed in args.seeds:
+        cfg = build_cfg(args.root, paths, seed, args.steps)
+        trainer = Trainer(cfg)
+        trainer.run()
+        ckpt = os.path.join(cfg.aux.logdir, "models", "last.msgpack")
+        blob = serialization.msgpack_restore(open(ckpt, "rb").read())
+        ema = blob["ema_params"] if "ema_params" in blob else blob["params"]
+        assert all(np.isfinite(v).all()
+                   for v in jax.tree_util.tree_leaves(ema)), "non-finite"
+
+        c32, n32, res32 = eval_mode(cfg, ema, "float32", "f32")
+        c16, n16, res16 = eval_mode(cfg, ema, "bfloat16", "bf16")
+        assert n32 == n16
+        agree, gt_delta = compare_modes(res32, res16)
+        # counts rows are ranks (1, 5) x thresholds (0.3, 0.5)
+        r1_equal = bool((c32[0] == c16[0]).all())
+        r5_flips = int(np.abs(c32[1] - c16[1]).sum())
+        row = {
+            "seed": seed,
+            "steps": int(trainer.itr),
+            "queries": n32,
+            "counts_f32": c32.tolist(),
+            "counts_bf16": c16.tolist(),
+            "r1_counts_equal": r1_equal,
+            "r5_count_flips": r5_flips,
+            "r5_flips_per_100_queries": 100.0 * r5_flips / n32,
+            "mode_agreement_iou_mean": float(np.mean(agree)),
+            "mode_agreement_iou_min": float(np.min(agree)),
+            "top1_iou_vs_gt_abs_delta_max": float(np.max(gt_delta)),
+            "compared_queries": len(agree),
+        }
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    promote = (
+        len(rows) >= 3
+        and all(r["r1_counts_equal"] for r in rows)
+        and all(r["mode_agreement_iou_mean"] >= 0.99 for r in rows)
+        and all(r["top1_iou_vs_gt_abs_delta_max"] <= 0.01 for r in rows)
+        and all(r["r5_flips_per_100_queries"] <= 1.0 for r in rows)
+    )
+    blob = {"rule": RULE, "steps": args.steps, "seeds": list(args.seeds),
+            "rows": rows, "promote_bf16_eval_default": promote}
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    json.dump(blob, open(args.out, "w"), indent=1)
+    print(f"promote_bf16_eval_default: {promote}  -> {args.out}",
+          flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,8 +55,11 @@ def main():
     from decafnet_tpu.train import Trainer
     from decafnet_tpu.utils.backend import resolve_backend_or_exit
 
-    # first device touch: resolve under the wedge watchdog (a stuck axon
-    # claim otherwise hangs the CLI forever with no error; CLAUDE.md notes)
+    # resolve the local chip claim under the wedge watchdog (a stuck axon
+    # claim otherwise hangs the CLI forever with no error; CLAUDE.md notes).
+    # Caveat: in multi-host runs jax.distributed.initialize() above may
+    # block first (it must run before any backend touch, so it cannot sit
+    # behind this watchdog); the guard covers the single-host claim path.
     print(f"backend: {resolve_backend_or_exit()}")
     mesh = make_mesh(cfg.tpu.mesh_shape)
     trainer = Trainer(cfg, mesh=mesh)
