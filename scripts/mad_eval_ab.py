@@ -21,10 +21,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(tag, Q, T, warmup=2, iters=32):
+def measure(tag, Q, T, warmup=2, iters=32, dtype=None):
     import jax
     import bench
-    cfg = bench.build({"model.vid_net.max_seq_len": T})
+    overrides = {"model.vid_net.max_seq_len": T}
+    if dtype:
+        overrides["tpu.compute_dtype"] = dtype
+    cfg = bench.build(overrides)
     decode, args = bench.make_decode_fn(cfg, Q, T)
     t0 = time.time()
     out = decode(*args)
@@ -39,7 +42,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--T", type=int, default=32768)
     parser.add_argument("--Q", type=int, default=2)
-    parser.add_argument("--axis", choices=["dual", "fused", "dw", "none"],
+    parser.add_argument("--axis",
+                        choices=["dual", "fused", "dw", "dtype", "none"],
                         default="dual")
     args = parser.parse_args(argv)
 
@@ -57,6 +61,15 @@ def main(argv=None):
 
     if args.axis == "none":
         measure("current-defaults", args.Q, args.T)
+        return 0
+
+    if args.axis == "dtype":
+        # f32 vs bf16 compute mode over the identical full-decode program
+        # (bf16 activations, fp32 params/statistics -- the validated opt-in
+        # speed mode; promotion evidence: scripts/bf16_promotion_study.py)
+        t32 = measure("compute=float32", args.Q, args.T)
+        t16 = measure("compute=bfloat16", args.Q, args.T, dtype="bfloat16")
+        print(f"bf16 speedup over f32: {t32 / t16:.2f}x", flush=True)
         return 0
 
     setter, default = {

@@ -72,6 +72,12 @@ def main(argv=None):
 
     T, Q = args.T, args.Q
     cfg = bench.build({"model.vid_net.max_seq_len": T})
+    # pin the shipped precision class (the CLIs/bench run cfg.tpu.
+    # matmul_precision = "high"); an unpinned run measures XLA's fastest
+    # bf16x1 class instead and is not comparable to the recorded numbers
+    jax.config.update("jax_default_matmul_precision",
+                      cfg.tpu.matmul_precision)
+    report_precision = cfg.tpu.matmul_precision
     model = make_model(cfg)
     decode_full, full_args = bench.make_decode_fn(cfg, Q, T)
     params = full_args[0]
@@ -116,7 +122,8 @@ def main(argv=None):
                 (params, fpn, fpn_masks, t_enc, t_mask)),
     }
 
-    report = {"T": T, "Q": Q, "iters": args.iters, "stages": {}}
+    report = {"T": T, "Q": Q, "iters": args.iters,
+              "matmul_precision": report_precision, "stages": {}}
     for name, (fn, a) in stages.items():
         jitted = jax.jit(fn)
         compiled = jitted.lower(*a).compile()
