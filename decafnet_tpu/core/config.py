@@ -346,7 +346,16 @@ def _defaults_common(task, delegation=True):
     # TPU-specific runtime knobs (no analogue in the reference)
     cfg.tpu = CfgNode()
     cfg.tpu.mesh_shape = None        # e.g. (8,) data-parallel; None = all devices
-    cfg.tpu.compute_dtype = "float32"  # "bfloat16" for speed, fp32 for parity
+    # activation compute dtype. "auto" (default) resolves per phase:
+    # float32 for TRAINING (the loss-norm EMA and AdamW moments are parity
+    # surfaces) and for reference_exact / CPU runs; bfloat16 for TPU EVAL
+    # (fp32 params + normalization/softmax statistics throughout).
+    # Promotion evidence: scripts/results/bf16_promotion.json -- 3 seeds x
+    # 600 steps, R1 counts identical, 0 R@5 flips, mode-agreement IoU
+    # >= 0.993, top-1 IoU-vs-GT delta <= 0.0015 (pre-registered rule in
+    # scripts/bf16_promotion_study.py). Set "float32" to force strict
+    # parity everywhere, "bfloat16" to force the fast mode (TPU only).
+    cfg.tpu.compute_dtype = "auto"
     # "high" (bf16x3 passes) is TF32-class accuracy -- the same class the
     # reference's cudnn convs run at on A100 (allow_tf32 defaults on) --
     # and ~1.3x faster than "highest" (6-pass f32) on the NLQ eval step

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import DataLoader, batchify_eval, make_dataset, min_chunk_size
-from ..models import fpn_lengths, generate_points, make_model, select_points
+from ..models import (fpn_lengths, generate_points, make_model,
+                      resolve_compute_dtype, select_points)
 from ..parallel.mesh import batch_sharding, replicated, time_sharding
 from ..ops.masked import max_pool1d
 from ..ops.nms import batched_nms_device, batched_nms_host
@@ -88,7 +89,13 @@ class Evaluator:
             self.shard_proc = False
             self.proc_rank, self.proc_world = 0, 1
 
-        self.model = make_model(cfg)
+        # resolve compute_dtype BEFORE the model exists: "auto" means bf16
+        # on TPU eval but f32 under reference_exact (a parity surface) --
+        # see models.resolve_compute_dtype + scripts/results/
+        # bf16_promotion.json for the promotion evidence
+        self.reference_exact = bool(cfg.eval.get("reference_exact", False))
+        self.compute_dtype = resolve_compute_dtype(cfg, eval_mode=True)
+        self.model = make_model(cfg, compute_dtype=self.compute_dtype)
         self.params = params
         if not train_time and params is None:
             self.params = self._load_params()
@@ -119,7 +126,6 @@ class Evaluator:
         self.text_len_cap = (cfg.model.text_net.max_seq_len
                              if cfg.model.text_net.get("use_abs_pe")
                              else None)
-        self.reference_exact = bool(cfg.eval.get("reference_exact", False))
         self.nms_cfg = dict(cfg.nms)
 
         root = cfg.aux.logdir

@@ -9,6 +9,7 @@ from .decafnet import (
     DeCafNetEarlyFusion,
     DeCafNetLateFusion,
     make_model,
+    resolve_compute_dtype,
 )
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "DeCafNetEarlyFusion",
     "DeCafNetLateFusion",
     "make_model",
+    "resolve_compute_dtype",
 ]
