@@ -359,16 +359,29 @@ class DeCafNetLateFusion(nn.Module):
         return fpn_logits, fpn_offsets, out_masks
 
 
+# Above this model-grid length, "auto" keeps f32 even for TPU eval: the
+# on-chip full-decode A/B (chip_queue_r4d, steady-state min, `high` matmul
+# precision) measured bf16 1.30x FASTER at T=2304/Q=8 (4.22 vs 5.47 ms) but
+# 19% SLOWER at T=32768/Q=2 (39.36 vs 31.78 ms) -- at MAD scale the program
+# is bound by elementwise/normalization passes whose bf16 form breaks XLA's
+# fusion clusters (same working-set effect as the depthwise shift dispatch,
+# nn/blocks.py:_SHIFT_DW_MAX_T). Threshold matches that dispatch.
+_BF16_AUTO_MAX_T = 16384
+
+
 def resolve_compute_dtype(cfg, eval_mode=False):
     """Resolve ``cfg.tpu.compute_dtype`` to a concrete dtype string.
 
     "auto" (the shipped default) means: float32 for training (the loss-norm
     EMA and AdamW moments are parity surfaces), float32 for
     ``eval.reference_exact`` parity runs and on non-TPU backends (XLA:CPU
-    has no bf16-input dots), bfloat16 for TPU eval/serving -- the mode the
-    pre-registered promotion study validated (scripts/results/
-    bf16_promotion.json: 3 seeds x 600 steps, R1 counts identical, 0 R@5
-    flips, mode-agreement IoU >= 0.993)."""
+    has no bf16-input dots), bfloat16 for TPU eval/serving at NLQ-class
+    grid lengths -- the mode the pre-registered promotion study validated
+    (scripts/results/bf16_promotion.json: 3 seeds x 600 steps, R1 counts
+    identical, 0 R@5 flips, mode-agreement IoU >= 0.993) -- and float32
+    again at MAD-class lengths (``model.vid_net.max_seq_len >=
+    _BF16_AUTO_MAX_T``), where the on-chip A/B measured bf16 as a 19%
+    regression (see ``_BF16_AUTO_MAX_T``)."""
     tpu_cfg = cfg.get("tpu") if hasattr(cfg, "get") else None
     value = tpu_cfg.get("compute_dtype", "float32") if tpu_cfg else "float32"
     if value != "auto":
@@ -377,6 +390,12 @@ def resolve_compute_dtype(cfg, eval_mode=False):
         return "float32"
     eval_cfg = cfg.get("eval") if hasattr(cfg, "get") else None
     if eval_cfg and eval_cfg.get("reference_exact", False):
+        return "float32"
+    try:
+        grid_t = int(cfg.model.vid_net.max_seq_len)
+    except (AttributeError, KeyError, TypeError):
+        grid_t = 0
+    if grid_t >= _BF16_AUTO_MAX_T:
         return "float32"
     import jax
     return "bfloat16" if jax.default_backend() == "tpu" else "float32"

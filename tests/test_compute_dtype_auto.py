@@ -47,6 +47,17 @@ def test_eval_on_tpu_resolves_to_bf16(cfg, monkeypatch):
     assert resolve_compute_dtype(cfg, eval_mode=True) == "bfloat16"
 
 
+def test_eval_on_tpu_mad_scale_resolves_to_f32(cfg, monkeypatch):
+    """At MAD-class grid lengths the on-chip A/B measured bf16 as a 19%
+    full-decode regression (chip_queue_r4d: 39.36 vs 31.78 ms at T=32768),
+    so "auto" keeps f32 there (models/decafnet.py:_BF16_AUTO_MAX_T)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    cfg.model.vid_net.max_seq_len = 32768
+    assert resolve_compute_dtype(cfg, eval_mode=True) == "float32"
+    cfg.model.vid_net.max_seq_len = 2304
+    assert resolve_compute_dtype(cfg, eval_mode=True) == "bfloat16"
+
+
 def test_reference_exact_forces_f32(cfg, monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     cfg.eval.reference_exact = True
