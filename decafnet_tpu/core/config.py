@@ -356,12 +356,17 @@ def _defaults_common(task, delegation=True):
     # scripts/bf16_promotion_study.py). Set "float32" to force strict
     # parity everywhere, "bfloat16" to force the fast mode (TPU only).
     cfg.tpu.compute_dtype = "auto"
-    # "high" (bf16x3 passes) is TF32-class accuracy -- the same class the
-    # reference's cudnn convs run at on A100 (allow_tf32 defaults on) --
-    # and ~1.3x faster than "highest" (6-pass f32) on the NLQ eval step
-    # (honest device_get-synced measurement, round 3). "highest" remains
-    # the strict-parity mode for oracle comparisons.
-    cfg.tpu.matmul_precision = "high"
+    # matmul precision for f32-input dots/convs. "auto" (default) resolves
+    # per phase (models.resolve_matmul_precision): "high" (bf16x3 passes,
+    # TF32-class -- the same accuracy class as the reference's A100 cudnn
+    # convs with allow_tf32 on) for TRAINING, "default" (single-pass bf16
+    # inputs, f32 accumulate) for TPU EVAL -- the MAD-scale full-decode
+    # measurement is 24.1 ms at "default" vs 31.8 at "high" (-24%,
+    # scripts/results/mad_stage_profile*.json); numerics evidence in
+    # scripts/results/precision_promotion_600.json (pre-registered rule) --
+    # and "highest" (6-pass f32) for eval.reference_exact strict-parity
+    # runs. Explicit "default"/"high"/"highest" always win.
+    cfg.tpu.matmul_precision = "auto"
     cfg.tpu.attention_backend = "auto"  # auto | xla | pallas
     cfg.tpu.seq_buckets = ()         # extra static sequence-length buckets
     cfg.tpu.compilation_cache = "~/.cache/decafnet_tpu/xla"  # "" disables

@@ -10,6 +10,7 @@ from .decafnet import (
     DeCafNetLateFusion,
     make_model,
     resolve_compute_dtype,
+    resolve_matmul_precision,
 )
 
 __all__ = [
@@ -33,4 +34,5 @@ __all__ = [
     "DeCafNetLateFusion",
     "make_model",
     "resolve_compute_dtype",
+    "resolve_matmul_precision",
 ]

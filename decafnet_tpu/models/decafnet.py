@@ -401,6 +401,40 @@ def resolve_compute_dtype(cfg, eval_mode=False):
     return "bfloat16" if jax.default_backend() == "tpu" else "float32"
 
 
+def resolve_matmul_precision(cfg, eval_mode=False):
+    """Resolve ``cfg.tpu.matmul_precision`` to a concrete precision string
+    for ``jax_default_matmul_precision``.
+
+    Explicit values ("default" | "high" | "highest") pass through. "auto"
+    means: "high" for training (bf16x3, TF32-class -- the same accuracy
+    class as the reference's A100 cudnn convs with allow_tf32 on),
+    "highest" for ``eval.reference_exact`` strict-parity runs, and
+    "default" (single-pass bf16 inputs, f32 accumulate) for TPU
+    eval/serving -- the MAD-scale full-decode measurement is 24.1 ms at
+    "default" vs 31.8 ms at "high" (scripts/results/mad_stage_profile*
+    .json, -24%), and it is the only eval-speed lever live at MAD-class
+    lengths where the bf16 COMPUTE mode regresses. Numerics evidence:
+    scripts/results/precision_promotion_600.json (pre-registered rule in
+    scripts/precision_promotion_study.py, same form as the bf16 study:
+    3 seeds x 604 steps, R1 counts identical, zero R@5 flips,
+    mode-agreement IoU >= 0.9948; the under-trained 304-step run failed
+    the rule on a near-tied top-1 flip and is recorded alongside in
+    precision_promotion.json).
+    Non-TPU backends resolve to "high" (XLA:CPU dots ignore the lever).
+    """
+    tpu_cfg = cfg.get("tpu") if hasattr(cfg, "get") else None
+    value = tpu_cfg.get("matmul_precision", "high") if tpu_cfg else "high"
+    if value != "auto":
+        return value
+    eval_cfg = cfg.get("eval") if hasattr(cfg, "get") else None
+    if eval_cfg and eval_cfg.get("reference_exact", False):
+        return "highest"
+    if not eval_mode:
+        return "high"
+    import jax
+    return "default" if jax.default_backend() == "tpu" else "high"
+
+
 def make_model(cfg, compute_dtype=None):
     """Model factory (reference: libs/worker_v2.py:182-211 -- only 'iter' is
     constructible in the released path; the variants are kept for parity

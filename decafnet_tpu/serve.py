@@ -209,8 +209,9 @@ def service_from_logdir(logdir, ckpt="last", set_cfgs=None):
     cfg.aux.ckpt = ckpt
 
     import jax
+    from .models import resolve_matmul_precision
     jax.config.update("jax_default_matmul_precision",
-                      cfg.tpu.matmul_precision)
+                      resolve_matmul_precision(cfg, eval_mode=True))
     cache = cfg.tpu.get("compilation_cache")
     if cache:
         import os as _os

@@ -43,8 +43,6 @@ def main():
     cfg.aux.dryrun = args.dryrun
 
     import jax
-    jax.config.update("jax_default_matmul_precision",
-                      cfg.tpu.matmul_precision)
     cache = cfg.tpu.get("compilation_cache")
     if cache:
         jax.config.update("jax_compilation_cache_dir",
@@ -59,6 +57,11 @@ def main():
     # first device touch: resolve under the wedge watchdog (a stuck axon
     # claim otherwise hangs the CLI forever with no error; CLAUDE.md notes)
     print(f"backend: {resolve_backend_or_exit()}")
+    # precision resolves AFTER the guarded claim ("auto" asks the backend)
+    # and BEFORE any tracing (Evaluator construction below)
+    from decafnet_tpu.models import resolve_matmul_precision
+    jax.config.update("jax_default_matmul_precision",
+                      resolve_matmul_precision(cfg, eval_mode=True))
     evaluator = Evaluator(cfg)
     evaluator.run()
     return 0

@@ -45,10 +45,17 @@ def main(argv=None):
     parser.add_argument("--axis",
                         choices=["dual", "fused", "dw", "dtype", "none"],
                         default="dual")
+    parser.add_argument("--precision", default="high",
+                        choices=("highest", "high", "default"),
+                        help="matmul precision pin for f32-input dots. "
+                        "'high' is the historical harness pin (all recorded "
+                        "round-4 A/Bs); 'default' is the shipped EVAL "
+                        "resolution of tpu.matmul_precision='auto' since "
+                        "the round-4 precision promotion")
     args = parser.parse_args(argv)
 
     import jax
-    jax.config.update("jax_default_matmul_precision", "high")
+    jax.config.update("jax_default_matmul_precision", args.precision)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/decafnet_tpu/xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

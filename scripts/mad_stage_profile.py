@@ -72,12 +72,13 @@ def main(argv=None):
 
     T, Q = args.T, args.Q
     cfg = bench.build({"model.vid_net.max_seq_len": T})
-    # pin the shipped precision class (the CLIs/bench run cfg.tpu.
-    # matmul_precision = "high"); an unpinned run measures XLA's fastest
-    # bf16x1 class instead and is not comparable to the recorded numbers
-    jax.config.update("jax_default_matmul_precision",
-                      cfg.tpu.matmul_precision)
-    report_precision = cfg.tpu.matmul_precision
+    # pin the shipped EVAL precision class (cfg.tpu.matmul_precision
+    # resolved with eval semantics -- "auto" is "default" on TPU since the
+    # round-4 precision promotion); numbers at different precisions are
+    # not comparable (high vs default measured 31.8 vs 24.1 ms here)
+    from decafnet_tpu.models import resolve_matmul_precision
+    report_precision = resolve_matmul_precision(cfg, eval_mode=True)
+    jax.config.update("jax_default_matmul_precision", report_precision)
     model = make_model(cfg)
     decode_full, full_args = bench.make_decode_fn(cfg, Q, T)
     params = full_args[0]

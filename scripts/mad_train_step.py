@@ -38,11 +38,18 @@ def main(argv=None):
                         choices=("nothing", "dots"),
                         help="what the checkpointed encoders save for the "
                         "backward pass (numerics identical; FLOP/HBM trade)")
+    parser.add_argument("--precision", default="highest",
+                        choices=("highest", "high", "default"),
+                        help="matmul precision pin. 'highest' is the "
+                        "historical harness pin (all recorded round-4 "
+                        "A/Bs); 'high' is the shipped TRAIN resolution of "
+                        "tpu.matmul_precision='auto'; 'default' is the "
+                        "opt-in speed class")
     args = parser.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_default_matmul_precision", args.precision)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/decafnet_tpu/xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -64,6 +71,7 @@ def main(argv=None):
     cfg.data.max_num_text = Q
     cfg.train.batch_size = 1
     print(f"T={T} Q={Q} remat={cfg.tpu.remat} policy={args.remat_policy} "
+          f"precision={args.precision} "
           f"video_major={cfg.tpu.video_major_train} "
           f"attention_backend={get_backend()} "
           f"('auto' resolves to diag at every shape)", flush=True)

@@ -30,8 +30,6 @@ def main():
     cfg = setup_cfg(args.cfg, args.set_cfgs)
 
     import jax
-    jax.config.update("jax_default_matmul_precision",
-                      cfg.tpu.matmul_precision)
     cache = cfg.tpu.get("compilation_cache")
     if cache:
         jax.config.update("jax_compilation_cache_dir",
@@ -61,6 +59,11 @@ def main():
     # block first (it must run before any backend touch, so it cannot sit
     # behind this watchdog); the guard covers the single-host claim path.
     print(f"backend: {resolve_backend_or_exit()}")
+    # precision resolves AFTER the guarded claim ("auto" asks the backend)
+    # and BEFORE any tracing (Trainer construction below)
+    from decafnet_tpu.models import resolve_matmul_precision
+    jax.config.update("jax_default_matmul_precision",
+                      resolve_matmul_precision(cfg, eval_mode=False))
     mesh = make_mesh(cfg.tpu.mesh_shape)
     trainer = Trainer(cfg, mesh=mesh)
     trainer.run()
