@@ -92,10 +92,16 @@ class Evaluator:
         # resolve compute_dtype BEFORE the model exists: "auto" means bf16
         # on TPU eval but f32 under reference_exact (a parity surface) --
         # see models.resolve_compute_dtype + scripts/results/
-        # bf16_promotion.json for the promotion evidence
+        # bf16_promotion.json for the promotion evidence. The config-level
+        # resolution here covers base-length buckets; _decode_fn
+        # RE-resolves per bucket grid length (buckets grow past
+        # max_seq_len in pow-2 steps) and caches one model per dtype --
+        # the dtype gate is per-SHAPE like the depthwise dispatch at
+        # nn/blocks.py, not per-config.
         self.reference_exact = bool(cfg.eval.get("reference_exact", False))
         self.compute_dtype = resolve_compute_dtype(cfg, eval_mode=True)
         self.model = make_model(cfg, compute_dtype=self.compute_dtype)
+        self._models_by_dtype = {self.compute_dtype: self.model}
         self.params = params
         if not train_time and params is None:
             self.params = self._load_params()
@@ -195,7 +201,7 @@ class Evaluator:
         P = points_np.shape[0]
         topk = min(self.pre_nms_topk, P)
         k_out = self.nms_cfg["max_num_segs"]
-        model = self.model
+        model = self._model_for_bucket(t0)
         pre_thresh = self.pre_nms_thresh
         seg_thresh = self.seg_len_thresh
         nms_cfg = self.nms_cfg
@@ -265,6 +271,20 @@ class Evaluator:
 
         self._decode_cache[key] = (decode, points_t)  # points_t: host numpy
         return self._decode_cache[key]
+
+    def _model_for_bucket(self, grid_t):
+        """Model instance for one bucket's grid length: "auto" dtype is
+        per-SHAPE (a long-video bucket under an NLQ config crosses
+        models._BF16_AUTO_MAX_T and must run f32 -- exactly the regime the
+        round-4 A/B measured bf16 19% slower and whose numerics the
+        promotion study never covered). Params are dtype-independent
+        (always fp32); the module only carries the activation cast."""
+        dtype = resolve_compute_dtype(self.cfg, eval_mode=True,
+                                      grid_t=grid_t)
+        if dtype not in self._models_by_dtype:
+            self._models_by_dtype[dtype] = make_model(
+                self.cfg, compute_dtype=dtype)
+        return self._models_by_dtype[dtype]
 
     def _points_device(self, T, points_np, sharded):
         """Device-resident (4, P) points per (T, placement): an ARGUMENT,

@@ -359,29 +359,44 @@ class DeCafNetLateFusion(nn.Module):
         return fpn_logits, fpn_offsets, out_masks
 
 
-# Above this model-grid length, "auto" keeps f32 even for TPU eval: the
-# on-chip full-decode A/B (chip_queue_r4d, steady-state min, `high` matmul
-# precision) measured bf16 1.30x FASTER at T=2304/Q=8 (4.22 vs 5.47 ms) but
-# 19% SLOWER at T=32768/Q=2 (39.36 vs 31.78 ms) -- at MAD scale the program
-# is bound by elementwise/normalization passes whose bf16 form breaks XLA's
-# fusion clusters (same working-set effect as the depthwise shift dispatch,
-# nn/blocks.py:_SHIFT_DW_MAX_T). Threshold matches that dispatch.
-_BF16_AUTO_MAX_T = 16384
+# Round-4 shipped a length gate here (16384): the on-chip A/B had measured
+# bf16 19% SLOWER than f32 at T=32768/Q=2 (39.4 vs 31.8 ms). Round 5
+# root-caused that regression to three bf16-hostile VPU formulations --
+# depthwise shift-FMA at the deep FPN levels (nn/blocks.py dtype-aware
+# dispatch), LN channel statistics as sublane reductions
+# (ops/masked.py:_LN_DOT_MIN_T ones-dot path), and the diagonal band-score
+# lane reductions (ops/local_attention.py:_DIAG_DOT_MIN_T) -- and fixed
+# them; with the fixes bf16 WINS at every measured length
+# (scripts/results/threshold_calibration.json + mad_stage_profile_*_r5fix:
+# T=4608 4.02 vs 4.35 ms, 9216 6.92 vs 7.58, 16384 11.51 vs 12.91,
+# 32768 21.32 vs 23.97). The gate is therefore DISABLED (None). The
+# per-bucket dispatch machinery (resolve_compute_dtype(grid_t=...),
+# Evaluator._model_for_bucket) remains live so a future regression can be
+# re-gated per shape, not per config.
+_BF16_AUTO_MAX_T = None
 
 
-def resolve_compute_dtype(cfg, eval_mode=False):
+def resolve_compute_dtype(cfg, eval_mode=False, grid_t=None):
     """Resolve ``cfg.tpu.compute_dtype`` to a concrete dtype string.
 
     "auto" (the shipped default) means: float32 for training (the loss-norm
     EMA and AdamW moments are parity surfaces), float32 for
     ``eval.reference_exact`` parity runs and on non-TPU backends (XLA:CPU
-    has no bf16-input dots), bfloat16 for TPU eval/serving at NLQ-class
-    grid lengths -- the mode the pre-registered promotion study validated
-    (scripts/results/bf16_promotion.json: 3 seeds x 600 steps, R1 counts
-    identical, 0 R@5 flips, mode-agreement IoU >= 0.993) -- and float32
-    again at MAD-class lengths (``model.vid_net.max_seq_len >=
-    _BF16_AUTO_MAX_T``), where the on-chip A/B measured bf16 as a 19%
-    regression (see ``_BF16_AUTO_MAX_T``)."""
+    has no bf16-input dots), and bfloat16 for TPU eval/serving -- the mode
+    the pre-registered promotion study validated
+    (scripts/results/bf16_promotion.json) and, since the round-5 kernel
+    fixes, the measured winner at EVERY length (see ``_BF16_AUTO_MAX_T``).
+
+    ``grid_t`` is the model-grid length the resolved program will actually
+    run at. Eval buckets grow past ``model.vid_net.max_seq_len`` in pow-2
+    steps (data/batching.py:bucket_length, points buffered for 10x), so
+    the Evaluator resolves PER BUCKET with ``grid_t = T_bucket //
+    vid_stride`` -- the dtype gate, when one is active, is per-SHAPE like
+    the depthwise dispatch at nn/blocks.py (with ``_BF16_AUTO_MAX_T``
+    disabled the per-bucket resolution is currently length-independent).
+    When ``grid_t`` is None the config's ``max_seq_len`` is used
+    (config-level resolution). Explicit non-"auto" values always pass
+    through."""
     tpu_cfg = cfg.get("tpu") if hasattr(cfg, "get") else None
     value = tpu_cfg.get("compute_dtype", "float32") if tpu_cfg else "float32"
     if value != "auto":
@@ -391,11 +406,12 @@ def resolve_compute_dtype(cfg, eval_mode=False):
     eval_cfg = cfg.get("eval") if hasattr(cfg, "get") else None
     if eval_cfg and eval_cfg.get("reference_exact", False):
         return "float32"
-    try:
-        grid_t = int(cfg.model.vid_net.max_seq_len)
-    except (AttributeError, KeyError, TypeError):
-        grid_t = 0
-    if grid_t >= _BF16_AUTO_MAX_T:
+    if grid_t is None:
+        try:
+            grid_t = int(cfg.model.vid_net.max_seq_len)
+        except (AttributeError, KeyError, TypeError):
+            grid_t = 0
+    if _BF16_AUTO_MAX_T is not None and grid_t >= _BF16_AUTO_MAX_T:
         return "float32"
     import jax
     return "bfloat16" if jax.default_backend() == "tpu" else "float32"

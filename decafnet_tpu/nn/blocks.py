@@ -50,15 +50,24 @@ def trunc_normal_init(std=0.02):
 
 # Depthwise-conv3 shift-multiply-add fast path (see Conv1d.__call__).
 # Module-level so the full-program A/B (scripts/mad_eval_ab.py --axis dw)
-# can flip it. The round-4 on-chip full-program A/B is shape-dependent:
-# NLQ scale (T=2304, Q=8) shift-FMA wins 1.6% (5.34 vs 5.43 ms); MAD scale
-# (T=32768, Q=2) the general-conv lowering wins 1.5-1.8% across two runs
-# (30.67 vs 31.13 / 30.57 vs 31.11 ms) —
-# at very long T the three shifted operand copies stop fitting the fusion's
-# working set. _SHIFT_DW_MAX_T dispatches per length: shift-FMA below,
-# conv_general_dilated at/above.
+# can flip it. The dispatch is shape-dependent: the round-4 full-program
+# A/B measured shift-FMA +1.6% at NLQ scale (T=2304, V=8 x Q=8) and the
+# general-conv lowering winning at MAD scale. Round 5 calibrated the MID
+# lengths (scripts/results/threshold_calibration.json, Q=2 full decode,
+# forced-everywhere variants): conv wins at every measured T >= 4608
+# (4.17 vs 4.83 ms at T=4608, 6.97 vs 7.64 at 9216, 11.64 vs 13.32 at
+# 16384), so the threshold moved 16384 -> 4096: shift-FMA below (the
+# NLQ-class regime where it measured ahead), conv_general_dilated at/above.
+#
+# The dispatch is additionally DTYPE-aware (round 5): shift-FMA is
+# f32-only. In bf16 the shifted-operand VPU loops are pathological (the
+# standalone op measures 1.83x its f32 time at T=32768) while the general
+# conv lowering is bf16-friendly (0.49x) -- the deep FPN levels dispatching
+# to shift-FMA were the root cause of the round-4 "bf16 19% slower at MAD
+# scale" regression (chain7 A/B: 10.79 ms with shift at T<=16384 vs
+# 5.36 ms all-conv; scripts/results/bf16_micro_ab*.json).
 _SHIFT_DW_ENABLED = True
-_SHIFT_DW_MAX_T = 16384
+_SHIFT_DW_MAX_T = 4096
 
 
 def set_depthwise_shift(enabled, max_t=None):
@@ -107,6 +116,7 @@ class Conv1d(nn.Module):
 
     def __call__(self, x):
         if (_SHIFT_DW_ENABLED and x.shape[-1] < _SHIFT_DW_MAX_T
+                and x.dtype == jnp.float32
                 and self.groups == self.in_channels == self.out_channels
                 and self.kernel_size == 3 and self.padding == 1
                 and self.dilation == 1):

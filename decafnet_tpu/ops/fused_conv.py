@@ -58,23 +58,19 @@ def conv3_ln_act_xla(x, mask, w, bias, ln_w, ln_b, act="relu", eps=1e-5):
         no affine).
       act: 'relu' | 'none'.
     """
-    ln_w = None if ln_w is None else ln_w.reshape(-1)
-    ln_b = None if ln_b is None else ln_b.reshape(-1)
+    from .masked import channel_layer_norm
+
     xm = x * mask[:, None, :].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         xm, w.astype(x.dtype), window_strides=(1,), padding=[(1, 1)],
         dimension_numbers=("NCH", "OIH", "NCH"))
     if bias is not None:
         y = y + bias.astype(y.dtype)[None, :, None]
-    yf = y.astype(jnp.float32)
-    mu = jnp.mean(yf, axis=-2, keepdims=True)
-    yc = yf - mu
-    sigma = jnp.mean(jnp.square(yc), axis=-2, keepdims=True)
-    yn = yc * jax.lax.rsqrt(sigma + eps)
+    # channel LN via the length-dispatched MXU statistics path (round 5)
     if ln_w is not None:
-        yn = yn * ln_w.astype(jnp.float32)[None, :, None] \
-            + ln_b.astype(jnp.float32)[None, :, None]
-    yn = yn.astype(x.dtype)
+        yn = channel_layer_norm(y, ln_w, ln_b, eps)
+    else:
+        yn = channel_layer_norm(y, None, None, eps)
     if act == "relu":
         yn = jax.nn.relu(yn)
     return yn
@@ -262,26 +258,36 @@ def qkv_depthwise_ln_xla(x, mask, ws, ln_ws, ln_bs, eps=1e-5):
       ln_ws, ln_bs: three (C,)/(C, 1) affine LN params.
     Returns three (B, C, T) arrays (q, k, v order of ``ws``).
     """
+    from ..nn import blocks as _blocks
+    from .masked import channel_layer_norm
+
     xm = x * mask[:, None, :].astype(x.dtype)
-    # depthwise conv3 as shift-multiply-add (see nn/blocks.py:Conv1d): the
-    # shifted tensors are built ONCE and shared by all three branches, so
-    # the trio reads x once; XLA:TPU's general-conv lowering for
-    # groups==channels is avoided entirely (no MXU there anyway).
-    x_l = jnp.pad(xm, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
-    x_r = jnp.pad(xm, ((0, 0), (0, 0), (0, 1)))[:, :, 1:]
+    # depthwise conv3 lowering follows the Conv1d dispatch
+    # (nn/blocks.py:Conv1d): shift-multiply-add (shifted tensors built ONCE
+    # and shared by all three branches -- x read once) for f32 below the
+    # length threshold; conv_general_dilated otherwise (bf16-friendly, and
+    # the long-T winner -- the hardcoded shift here was part of the round-4
+    # bf16 MAD regression, scripts/results/bf16_micro_ab*.json).
+    use_shift = (_blocks._SHIFT_DW_ENABLED
+                 and x.shape[-1] < _blocks._SHIFT_DW_MAX_T
+                 and x.dtype == jnp.float32)
+    if use_shift:
+        x_l = jnp.pad(xm, ((0, 0), (0, 0), (1, 0)))[:, :, :-1]
+        x_r = jnp.pad(xm, ((0, 0), (0, 0), (0, 1)))[:, :, 1:]
+    C = x.shape[-2]
     outs = []
     for w, lw, lb in zip(ws, ln_ws, ln_bs):
-        t = w.astype(x.dtype)[:, 0, :]                # (C, 3) taps
-        y = (t[None, :, 0, None] * x_l + t[None, :, 1, None] * xm
-             + t[None, :, 2, None] * x_r)
-        yf = y.astype(jnp.float32)
-        mu = jnp.mean(yf, axis=-2, keepdims=True)
-        yc = yf - mu
-        sig = jnp.mean(jnp.square(yc), axis=-2, keepdims=True)
-        yn = yc * jax.lax.rsqrt(sig + eps)
-        yn = yn * lw.reshape(-1).astype(jnp.float32)[None, :, None] \
-            + lb.reshape(-1).astype(jnp.float32)[None, :, None]
-        outs.append(yn.astype(x.dtype))
+        if use_shift:
+            t = w.astype(x.dtype)[:, 0, :]                # (C, 3) taps
+            y = (t[None, :, 0, None] * x_l + t[None, :, 1, None] * xm
+                 + t[None, :, 2, None] * x_r)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xm, w.astype(x.dtype), (1,), [(1, 1)],
+                feature_group_count=C,
+                dimension_numbers=("NCH", "OIH", "NCH"))
+        # channel LN with the length-dispatched MXU statistics path
+        outs.append(channel_layer_norm(y, lw, lb, eps))
     return tuple(outs)
 
 

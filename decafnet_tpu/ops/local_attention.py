@@ -138,6 +138,31 @@ def _shift_time(x, r):
     return jax.lax.slice_in_dim(x, 0, T, axis=-2)
 
 
+# Per-diagonal q.k_r products contract over the HEAD dim D, which sits in
+# TPU lanes -- a VPU cross-lane reduction that, like the LN sublane
+# reductions (ops/masked.py:_LN_DOT_MIN_T), runs far off the floor at long
+# T and is bf16-hostile (measured (2,4,32768,32): 0.94 ms f32 / 1.60 ms
+# bf16 vs 0.71 / 0.58 ms when the contraction is a ones-vector DOT on the
+# MXU; scripts/results/bf16_micro_ab4.json). Mode "bf16" (default) engages
+# the dot form only for non-f32 activations: composed-f32 programs lose
+# fusion around the HIGHEST stat dots (see the ops/masked.py note; the
+# mad_stage_profile_f32_r5* A/B covers both dispatches together).
+_DIAG_DOT_MIN_T = 4096
+_DIAG_DOT_MODE = "bf16"  # "bf16" | "always" | "never"
+
+
+def set_diag_dot(mode, min_t=None):
+    """Set the MXU (ones-dot) diagonal-score mode ("bf16" | "always" |
+    "never"; bools map to always/never)."""
+    global _DIAG_DOT_MODE, _DIAG_DOT_MIN_T
+    if isinstance(mode, bool):
+        mode = "always" if mode else "never"
+    assert mode in ("bf16", "always", "never")
+    _DIAG_DOT_MODE = mode
+    if min_t is not None:
+        _DIAG_DOT_MIN_T = min_t
+
+
 def band_attention_diag(q, k, v, kv_mask, window_size):
     """Banded attention via per-diagonal products: the (T, w) score tensor
     replaces the chunked formulation's (T, c + 2*halo) tiles, cutting the
@@ -156,12 +181,24 @@ def band_attention_diag(q, k, v, kv_mask, window_size):
     halo = window_size // 2
     B, H, T, D = q.shape
     mask_f = kv_mask.astype(jnp.float32)[:, None, :]        # (B, 1, T)
+    use_dot = T >= _DIAG_DOT_MIN_T and (
+        _DIAG_DOT_MODE == "always"
+        or (_DIAG_DOT_MODE == "bf16" and q.dtype != jnp.float32))
+    ones_d = jnp.ones((D,), q.dtype)
+    hi = jax.lax.Precision.HIGHEST
 
     scores = []
     for r in range(-halo, halo + 1):
         k_r = _shift_time(k, r)
-        s = jnp.einsum("bhtd,bhtd->bht", q, k_r,
-                       preferred_element_type=jnp.float32)  # (B, H, T)
+        if use_dot:
+            # contraction over lanes as a ones-dot on the MXU; the q*k_r
+            # product stays in the compute dtype (exact for f32; for bf16
+            # the end-to-end effect is covered by the promotion study)
+            s = jnp.einsum("bhtd,d->bht", q * k_r, ones_d, precision=hi,
+                           preferred_element_type=jnp.float32)
+        else:
+            s = jnp.einsum("bhtd,bhtd->bht", q, k_r,
+                           preferred_element_type=jnp.float32)  # (B, H, T)
         m_r = _shift_time(mask_f[..., None], r)[..., 0]     # (B, 1, T)
         scores.append(jnp.where(m_r > 0, s, -jnp.inf))
     s = jnp.stack(scores, axis=-1)                          # (B, H, T, w)

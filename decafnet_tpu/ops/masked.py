@@ -136,6 +136,43 @@ def sinusoid_encoding(seq_len, n_freqs, dtype=np.float32):
     return pe.astype(dtype)
 
 
+# Channel-stat formulation dispatch (round 5). The channel axis sits in
+# TPU SUBLANES under the framework's channel-first (…, C, T) layout, and
+# VPU cross-sublane reductions run far off the bandwidth floor at long T
+# (measured T=32768, (2,128,T): 0.70 ms f32 / 1.50 ms bf16 for ONE LN vs
+# an ~0.08 ms streaming floor). Expressing mean/variance as ones-vector
+# DOTS moves the reduction onto the MXU: 0.54 ms f32 / 0.52 ms bf16
+# standalone (scripts/results/bf16_micro_ab4.json) -- this was half of the
+# round-4 "bf16 19% slower at MAD scale" regression. Mode "bf16" (default)
+# engages the dot form only for non-f32 activations at long T: in the
+# COMPOSED f32 program the HIGHEST-precision stat dots break XLA's
+# elementwise fusion clusters and lose what they win standalone (full MAD
+# decode f32: 23.97 ms reduce vs 25.28 ms dot,
+# scripts/results/mad_stage_profile_f32_r5*.json), while the bf16 program
+# improves 39.4 -> 21.3 ms. The two forms differ only by f32 summation
+# order (tests/test_ops_masked.py pins them to 1e-5).
+_LN_DOT_MIN_T = 4096
+_LN_DOT_MODE = "bf16"  # "bf16" | "always" | "never"
+
+
+def set_ln_dot(mode, min_t=None):
+    """Set the MXU (ones-dot) LayerNorm statistics mode (A/B harness hook,
+    like nn.blocks.set_depthwise_shift). ``mode``: "bf16" (default:
+    non-f32 activations only) | "always" | "never"; bools map to
+    always/never for back-compat."""
+    global _LN_DOT_MODE, _LN_DOT_MIN_T
+    if isinstance(mode, bool):
+        mode = "always" if mode else "never"
+    assert mode in ("bf16", "always", "never")
+    _LN_DOT_MODE = mode
+    if min_t is not None:
+        _LN_DOT_MIN_T = min_t
+
+
+def _use_dot_stats(mode, dtype):
+    return mode == "always" or (mode == "bf16" and dtype != jnp.float32)
+
+
 def channel_layer_norm(x, weight=None, bias=None, eps=1e-5):
     """LayerNorm over the channel axis of (..., c, t) tensors.
 
@@ -143,11 +180,28 @@ def channel_layer_norm(x, weight=None, bias=None, eps=1e-5):
     then divided by sqrt(mean(x_centered^2) + eps) (biased variance)
     (reference: libs/modeling/blocks.py:109-131). ``weight``/``bias`` have
     shape (c, 1) or (c,).
+
+    At long T the statistics are computed as ones-vector dot_generals on
+    the MXU instead of VPU sublane reductions (see ``_LN_DOT_MIN_T``
+    above); summation-order-level numerics, statistics in fp32 either way.
     """
     in_dtype = x.dtype
-    x = x.astype(jnp.float32)  # normalization statistics always in fp32
-    x = x - jnp.mean(x, axis=-2, keepdims=True)
-    sigma = jnp.mean(jnp.square(x), axis=-2, keepdims=True)
+    C = x.shape[-2]
+    if (x.shape[-1] >= _LN_DOT_MIN_T
+            and _use_dot_stats(_LN_DOT_MODE, in_dtype)):
+        hi = jax.lax.Precision.HIGHEST
+        ones = jnp.ones((C,), x.dtype)
+        mean = jnp.einsum("...ct,c->...t", x, ones, precision=hi,
+                          preferred_element_type=jnp.float32) / C
+        x = x.astype(jnp.float32) - mean[..., None, :]
+        sigma = (jnp.einsum("...ct,...ct,c->...t", x, x,
+                            jnp.ones((C,), jnp.float32), precision=hi,
+                            preferred_element_type=jnp.float32)
+                 / C)[..., None, :]
+    else:
+        x = x.astype(jnp.float32)  # normalization statistics always in fp32
+        x = x - jnp.mean(x, axis=-2, keepdims=True)
+        sigma = jnp.mean(jnp.square(x), axis=-2, keepdims=True)
     x = x * jax.lax.rsqrt(sigma + eps)
     if weight is not None:
         w = weight.reshape(weight.shape[0], 1) if weight.ndim == 1 else weight

@@ -72,6 +72,31 @@ def test_band_attention_diag_vs_torch(t, window):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_band_attention_diag_dot_path_matches():
+    """Round-5 MXU score path: above _DIAG_DOT_MIN_T the per-diagonal q.k
+    contraction over the head dim is a ones-vector dot (the VPU cross-lane
+    reduction is slow at long T and bf16-hostile; see
+    ops/local_attention.py). Must match the einsum form AND the torch band
+    oracle at a length that engages the dot path."""
+    from decafnet_tpu.ops.local_attention import (_DIAG_DOT_MIN_T,
+                                                  set_diag_dot)
+
+    t = max(_DIAG_DOT_MIN_T, 4096)
+    q, k, v, mask = _inputs(t=t, lens=[t, t * 2 // 3])
+    args = tuple(map(jnp.asarray, (q, k, v, mask)))
+    try:
+        # default mode is "bf16" (CPU tests run f32), so force each leg
+        set_diag_dot("always")
+        got_dot = np.asarray(band_attention_diag(*args, 5))
+        set_diag_dot("never")
+        got_einsum = np.asarray(band_attention_diag(*args, 5))
+    finally:
+        set_diag_dot("bf16")
+    np.testing.assert_allclose(got_dot, got_einsum, rtol=1e-5, atol=1e-5)
+    want = torch_band_oracle(q, k, v, mask, 5)
+    np.testing.assert_allclose(got_dot, want, rtol=1e-4, atol=1e-4)
+
+
 def test_band_attention_diag_grad_finite_and_masked():
     """diag is the default short-sequence TRAIN path: gradients must be
     finite and zero through fully-masked rows."""

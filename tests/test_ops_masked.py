@@ -116,3 +116,37 @@ def test_channel_layer_norm():
     want = tx / torch.sqrt(sigma + 1e-5)
     want = want * torch.from_numpy(w) + torch.from_numpy(b)
     np.testing.assert_allclose(got, want.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_channel_layer_norm_dot_path_matches_reduce():
+    """Round-5 MXU statistics path: above _LN_DOT_MIN_T the channel
+    mean/variance are ones-vector dots (the VPU sublane reduction runs far
+    off the bandwidth floor at long T and is bf16-hostile; see
+    ops/masked.py). The two formulations differ only by f32 summation
+    order -- pinned here at a long-T shape against the reduce form and the
+    torch oracle."""
+    from decafnet_tpu.ops.masked import _LN_DOT_MIN_T, set_ln_dot
+
+    t = max(_LN_DOT_MIN_T, 4096)
+    x = RNG.randn(2, 16, t).astype(np.float32) * 3.0 + 1.5
+    w = RNG.randn(16, 1).astype(np.float32)
+    b = RNG.randn(16, 1).astype(np.float32)
+    try:
+        # default mode is "bf16" (CPU tests run f32 activations), so the
+        # dot leg is forced on here and the reduce leg forced off
+        set_ln_dot("always")
+        got_dot = np.asarray(channel_layer_norm(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+        set_ln_dot("never")
+        got_reduce = np.asarray(channel_layer_norm(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    finally:
+        set_ln_dot("bf16")
+    np.testing.assert_allclose(got_dot, got_reduce, rtol=1e-5, atol=1e-5)
+
+    tx = torch.from_numpy(x)
+    tx = tx - tx.mean(dim=1, keepdim=True)
+    sigma = (tx ** 2).mean(dim=1, keepdim=True)
+    want = tx / torch.sqrt(sigma + 1e-5)
+    want = want * torch.from_numpy(w) + torch.from_numpy(b)
+    np.testing.assert_allclose(got_dot, want.numpy(), rtol=1e-4, atol=1e-4)
