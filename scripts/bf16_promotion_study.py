@@ -48,36 +48,48 @@ RULE = {
 }
 
 
-def build_cfg(root, paths, seed, steps, itrs_per_epoch=8):
+def build_cfg(root, paths, seed, steps, itrs_per_epoch=None):
+    """Study config. ``steps`` is the number of optimizer steps the study
+    must actually DELIVER: epochs are derived from the REAL per-epoch
+    loader length (round-5 ADVICE fix -- the round-4 run used a hardcoded
+    itrs_per_epoch=8 guess while the synthetic grouping actually yields
+    ~4/epoch, silently delivering 304 of the requested 600)."""
     from decafnet_tpu.core import (get_cfg_defaults, update_eval_data,
                                    update_opt)
     from decafnet_tpu.data import apply_synthetic_cfg
 
-    cfg = get_cfg_defaults("grounder")
-    cfg.model.name = "iter"
-    cfg.model.vid_net.in_dim = 64
-    cfg.model.vid_net.embd_dim = 32
-    cfg.model.vid_net.max_seq_len = 128
-    cfg.model.vid_net.arch = (1, 0, 4)
-    cfg.model.text_net.in_dim = 48
-    cfg.model.text_net.embd_dim = 32
-    cfg.model.text_net.n_layers = 1
-    cfg.model.fusion.n_layers = 1
-    cfg.model.sratio = 0.5
-    cfg.model.sn = 8
-    cfg.train.batch_size = 2
-    cfg.train.microbatch_size = 1
-    cfg.train.num_workers = 0
-    cfg.train.epochs = max(1, steps // itrs_per_epoch)
-    cfg.train.warmup_epochs = 1
-    cfg.eval.max_num_queries = 4
-    cfg.seed = seed
-    cfg.aux.logdir = os.path.join(root, f"seed{seed}")
-    cfg.aux.eval_run = 10 ** 9  # no train-time eval
-    apply_synthetic_cfg(cfg, paths)
-    update_opt(cfg)
-    update_eval_data(cfg)
-    return cfg
+    def base(epochs):
+        cfg = get_cfg_defaults("grounder")
+        cfg.model.name = "iter"
+        cfg.model.vid_net.in_dim = 64
+        cfg.model.vid_net.embd_dim = 32
+        cfg.model.vid_net.max_seq_len = 128
+        cfg.model.vid_net.arch = (1, 0, 4)
+        cfg.model.text_net.in_dim = 48
+        cfg.model.text_net.embd_dim = 32
+        cfg.model.text_net.n_layers = 1
+        cfg.model.fusion.n_layers = 1
+        cfg.model.sratio = 0.5
+        cfg.model.sn = 8
+        cfg.train.batch_size = 2
+        cfg.train.microbatch_size = 1
+        cfg.train.num_workers = 0
+        cfg.train.epochs = epochs
+        cfg.train.warmup_epochs = 1
+        cfg.eval.max_num_queries = 4
+        cfg.seed = seed
+        cfg.aux.logdir = os.path.join(root, f"seed{seed}")
+        cfg.aux.eval_run = 10 ** 9  # no train-time eval
+        apply_synthetic_cfg(cfg, paths)
+        update_opt(cfg)
+        update_eval_data(cfg)
+        return cfg
+
+    if itrs_per_epoch is None:
+        from decafnet_tpu.data import make_dataset
+        probe = make_dataset(base(1), is_training=True)
+        itrs_per_epoch = max(1, len(probe) // 2)  # batch_size 2, drop_last
+    return base(max(1, -(-steps // itrs_per_epoch)))
 
 
 def interval_iou_1(a, b):
@@ -98,6 +110,33 @@ def eval_mode(cfg, ema_params, dtype, tag):
     res = EvalResults.load(os.path.join(cfg.aux.logdir,
                                         f"results_{tag}.pk"))
     return ev.meter.counts.copy(), int(ev.meter.text_cnt), res
+
+
+def near_tie_stats(res, margin=1e-3):
+    """Rank-flip sensitivity (round-5 VERDICT item 7): a compute-mode
+    delta can only change R@1 through queries whose top-2 detections are
+    nearly score-tied. Returns (n_near_tie, n_consequential, n_queries):
+    near-tie = top-2 score gap < ``margin``; consequential = additionally
+    the two candidates' IoU-vs-GT differ by > 0.05 (so a flip would
+    materially move the measured quality, not just swap equal-quality
+    segments -- the round-4 precision FAIL was an equal-quality tie,
+    |IoU-vs-GT delta| 0.0005 at mode-agreement 0.0)."""
+    n_tie = n_conseq = n_q = 0
+    for v in res.videos:
+        for t, d in zip(v["targets"], v["detections"]):
+            if len(d["scores"]) < 2:
+                continue
+            n_q += 1
+            order = np.argsort(d["scores"])[::-1]
+            gap = float(d["scores"][order[0]] - d["scores"][order[1]])
+            if gap >= margin:
+                continue
+            n_tie += 1
+            iou0 = interval_iou_1(d["segments"][order[0]], t)
+            iou1 = interval_iou_1(d["segments"][order[1]], t)
+            if abs(iou0 - iou1) > 0.05:
+                n_conseq += 1
+    return n_tie, n_conseq, n_q
 
 
 def compare_modes(res_f32, res_bf16):
@@ -122,6 +161,13 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=600)
     parser.add_argument("--seeds", type=int, nargs="+", default=(0, 1, 2))
     parser.add_argument("--root", default="/tmp/bf16_study")
+    parser.add_argument("--dot-min-t", type=int, default=64,
+                        help="lower the MXU ones-dot LN / band-score "
+                        "length thresholds so the study's short synthetic "
+                        "sequences exercise the SAME bf16 formulations "
+                        "production bf16 runs use at real lengths "
+                        "(ops/masked.py / ops/local_attention.py; the "
+                        "modes stay 'bf16' so the f32 legs are untouched)")
     parser.add_argument("--out",
                         default=os.path.join(REPO, "scripts", "results",
                                              "bf16_promotion.json"))
@@ -129,6 +175,11 @@ def main(argv=None):
 
     import bench
     bench.require_tpu()
+
+    from decafnet_tpu.ops.local_attention import set_diag_dot
+    from decafnet_tpu.ops.masked import set_ln_dot
+    set_ln_dot("bf16", min_t=args.dot_min_t)
+    set_diag_dot("bf16", min_t=args.dot_min_t)
 
     from flax import serialization
     import jax
@@ -156,10 +207,14 @@ def main(argv=None):
         c16, n16, res16 = eval_mode(cfg, ema, "bfloat16", "bf16")
         assert n32 == n16
         agree, gt_delta = compare_modes(res32, res16)
+        n_tie, n_conseq, n_q2 = near_tie_stats(res32)
         # counts rows are ranks (1, 5) x thresholds (0.3, 0.5)
         r1_equal = bool((c32[0] == c16[0]).all())
         r5_flips = int(np.abs(c32[1] - c16[1]).sum())
         row = {
+            "near_tie_queries": n_tie,
+            "near_tie_consequential": n_conseq,
+            "near_tie_scored_queries": n_q2,
             "seed": seed,
             "steps": int(trainer.itr),
             "queries": n32,
@@ -176,6 +231,13 @@ def main(argv=None):
         print(json.dumps(row), flush=True)
         rows.append(row)
 
+    # the verdict is only valid if the study DELIVERED the pre-registered
+    # step count (round-4's run silently delivered 304/600; the same
+    # round's precision study declared that under-delivery a FAIL-to-rerun)
+    delivered = min(r["steps"] for r in rows)
+    assert delivered >= 0.9 * args.steps, (
+        f"study under-delivered: {delivered} optimizer steps < 90% of the "
+        f"requested {args.steps}; refusing to write a promotion verdict")
     promote = (
         len(rows) >= 3
         and all(r["r1_counts_equal"] for r in rows)
@@ -183,7 +245,9 @@ def main(argv=None):
         and all(r["top1_iou_vs_gt_abs_delta_max"] <= 0.01 for r in rows)
         and all(r["r5_flips_per_100_queries"] <= 1.0 for r in rows)
     )
-    blob = {"rule": RULE, "steps": args.steps, "seeds": list(args.seeds),
+    blob = {"rule": RULE, "steps_requested": args.steps,
+            "steps_delivered_min": delivered, "seeds": list(args.seeds),
+            "dot_min_t": args.dot_min_t,
             "rows": rows, "promote_bf16_eval_default": promote}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     json.dump(blob, open(args.out, "w"), indent=1)

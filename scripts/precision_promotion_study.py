@@ -44,7 +44,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bf16_promotion_study import build_cfg, compare_modes  # noqa: E402
+from bf16_promotion_study import (build_cfg, compare_modes,  # noqa: E402
+                                  near_tie_stats)
 
 RULE = {
     "r1_counts": "identical at every IoU threshold, every seed",
@@ -119,9 +120,13 @@ def main(argv=None):
                                             "prec_default")
         assert nhi == ndef
         agree, gt_delta = compare_modes(reshi, resdef)
+        n_tie, n_conseq, n_q2 = near_tie_stats(reshi)
         r1_equal = bool((chi[0] == cdef[0]).all())
         r5_flips = int(np.abs(chi[1] - cdef[1]).sum())
         row = {
+            "near_tie_queries": n_tie,
+            "near_tie_consequential": n_conseq,
+            "near_tie_scored_queries": n_q2,
             "seed": seed,
             "steps": int(trainer.itr),
             "queries": nhi,
@@ -138,6 +143,10 @@ def main(argv=None):
         print(json.dumps(row), flush=True)
         rows.append(row)
 
+    delivered = min(r["steps"] for r in rows)
+    assert delivered >= 0.9 * args.steps, (
+        f"study under-delivered: {delivered} optimizer steps < 90% of the "
+        f"requested {args.steps}; refusing to write a promotion verdict")
     promote = (
         len(rows) >= 3
         and all(r["r1_counts_equal"] for r in rows)
@@ -145,7 +154,8 @@ def main(argv=None):
         and all(r["top1_iou_vs_gt_abs_delta_max"] <= 0.01 for r in rows)
         and all(r["r5_flips_per_100_queries"] <= 1.0 for r in rows)
     )
-    blob = {"rule": RULE, "steps": args.steps, "seeds": list(args.seeds),
+    blob = {"rule": RULE, "steps_requested": args.steps,
+            "steps_delivered_min": delivered, "seeds": list(args.seeds),
             "rows": rows, "promote_default_precision_eval": promote}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     json.dump(blob, open(args.out, "w"), indent=1)
