@@ -28,7 +28,8 @@ from flax import serialization, struct
 from ..data import DataLoader, batchify_train, make_dataset
 from ..models import fpn_lengths, generate_points, make_model, select_points
 from ..parallel.mesh import make_mesh, shard_batch
-from ..utils.logging import AverageMeter, Logger, time_str
+from ..utils.logging import (AverageMeter, Logger,
+                             count_parameters, time_str)
 from .annotate import annotate_points
 from .losses import calc_focal_loss, calc_iou_loss
 from .optim import ema_update, make_optimizer, make_schedule
@@ -301,6 +302,8 @@ class Trainer:
         self.loss_meters = {}
         self.timer = AverageMeter()
         self.log_interval = cfg.aux.log_interval
+        self.logger.write(
+            f"Model: {count_parameters(params):.2f}M parameters")
 
         # auto-resume when both checkpoint halves exist
         # (reference: train.py:66-69)

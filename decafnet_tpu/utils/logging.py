@@ -59,6 +59,16 @@ def time_str(seconds):
     return f"{int(h)}h{int(m)}m{s:.0f}s"
 
 
+def count_parameters(params, scale=1e6):
+    """Total parameter count of a param pytree, in ``scale`` units
+    (reference: libs/helper/utils.py:94-98 -- ``trained_only`` has no JAX
+    analogue: a flax param tree contains exactly the trainable leaves; the
+    EMA copy is a separate tree)."""
+    import jax
+    return sum(int(np.prod(p.shape))
+               for p in jax.tree_util.tree_leaves(params)) / scale
+
+
 def easy_reduce(scores, mode="mean", skip_nan=False):
     """Recursive mean/max/median over a list of nested metric containers
     (reference: libs/helper/utils.py:178-220)."""

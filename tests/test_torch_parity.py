@@ -87,6 +87,13 @@ def test_forward_parity_vs_reference(msf, scat):
                           deterministic=True)["params"]
     params = state_dict_to_params(sd, template=template)
 
+    # param-count parity (reference: libs/helper/utils.py:94-98): the same
+    # architecture must report the same count through either helper
+    from decafnet_tpu.utils import count_parameters
+    ref_count = sum(p.numel() for p in ref_model.parameters()
+                    if p.requires_grad) / 1e6
+    assert abs(count_parameters(params) - ref_count) < 1e-9
+
     got = model.apply({"params": params}, *jinputs, deterministic=True)
 
     with torch.no_grad():
