@@ -95,19 +95,47 @@ class _RefUnpickler(pickle.Unpickler):
     """Unpickles reference result dumps WITHOUT the reference package on
     sys.path: the reference pickles `libs.helper.utils.Checkpoint`/`Video`
     class instances by module path; we remap those two names onto local
-    attribute-bag shims and let everything else (numpy, torch tensors)
-    resolve normally."""
+    attribute-bag shims.
+
+    Everything else is resolved through an ALLOWLIST of the
+    reconstruction callables a reference Checkpoint pickle legitimately
+    contains (numpy array/scalar rebuilds, torch tensor rebuilds,
+    OrderedDict, plain-container builtins). Result pickles come from the
+    reference tree -- untrusted content -- and pickle's default
+    ``find_class`` executes arbitrary importable callables, so anything
+    off-list raises ``pickle.UnpicklingError`` instead of resolving."""
 
     _REMAP = {
         ("libs.helper.utils", "Checkpoint"): _RefCheckpoint,
         ("libs.helper.utils", "Video"): _RefVideo,
     }
 
+    _ALLOW = {
+        ("numpy", "ndarray"), ("numpy", "dtype"),
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "scalar"),
+        ("torch._utils", "_rebuild_tensor"),
+        ("torch._utils", "_rebuild_tensor_v2"),
+        ("torch.storage", "_load_from_bytes"),
+        ("collections", "OrderedDict"),
+        ("builtins", "list"), ("builtins", "dict"), ("builtins", "tuple"),
+        ("builtins", "set"), ("builtins", "frozenset"),
+        ("builtins", "complex"), ("builtins", "bytearray"),
+    }
+
     def find_class(self, module, name):
         cls = self._REMAP.get((module, name))
         if cls is not None:
             return cls
-        return super().find_class(module, name)
+        if (module, name) in self._ALLOW or (
+                module == "torch" and name.endswith("Storage")):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name}: reference result "
+            "pickles are untrusted content and only numpy/torch tensor "
+            "reconstruction plus the Checkpoint/Video shims are allowed")
 
 
 def _to_numpy(x):

@@ -173,3 +173,26 @@ def test_load_reference_checkpoint_roundtrip(tmp_path):
     buckets = compute_iou_by_length(res, bins=(0, 5, np.inf))
     assert buckets[(0, 5)] == (1.0, 1)
     np.testing.assert_allclose(buckets[(5, np.inf)][0], 0.5)
+
+
+def test_ref_unpickler_rejects_arbitrary_callables(tmp_path):
+    """The reference tree is untrusted content; its result pickles must not
+    be able to execute arbitrary importable callables through the loader
+    (round-5 ADVICE item). A classic __reduce__ payload must raise
+    UnpicklingError, not run."""
+    import os
+    import pickle
+
+    import pytest
+
+    from decafnet_tpu.utils.analysis import load_reference_checkpoint
+
+    class Evil:
+        def __reduce__(self):
+            return (os.system, ("echo pwned",))
+
+    path = tmp_path / "evil.pk"
+    with open(path, "wb") as f:
+        pickle.dump(Evil(), f)
+    with pytest.raises(pickle.UnpicklingError, match="refusing"):
+        load_reference_checkpoint(str(path))
