@@ -35,6 +35,7 @@ Prints exactly one JSON line:
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -377,6 +378,13 @@ def main():
     decode, args = make_decode_fn(cfg, Q, T, V, compute_dtype=eval_dtype)
     t_batched = timed(decode, args, warmup=4, iters=48)
 
+    # same-dtype structural leg (round-5 ADVICE): the batched program with
+    # f32 activations like the baseline, so vs_baseline_same_dtype stays
+    # the "same chip, same precision" comparison of rounds 1-3 and
+    # cross-round BENCH_r0*.json snapshots remain comparable.
+    decode_f32, args_f32 = make_decode_fn(cfg, Q, T, V, compute_dtype=None)
+    t_batched_f32 = timed(decode_f32, args_f32, warmup=4, iters=48)
+
     # reference eval structure: one video x one query per call, dense
     # candidates fetched to the HOST each call and C++ SoftNMS run there
     # (the reference's .cpu() + libs/nms dataflow) -> V*Q sequential
@@ -386,7 +394,57 @@ def main():
 
     video_seconds = V * T * clip_stride / fps  # video seconds per call
     value = video_seconds / t_batched          # per chip (single-chip bench)
+    value_f32 = video_seconds / t_batched_f32
     baseline = video_seconds / t_sequential
+
+    # north-star extra keys (round-5 VERDICT item 5): the on-device
+    # ENCODE+GROUND pipeline (BASELINE.json "Video-sec/sec/chip
+    # (encode+ground)") measured under the SHIPPED eval policy -- sidekick
+    # ViT over all clips + expert ViT over the delegated 30% + grounder +
+    # device NMS vs the reference's encode-ALL + host-NMS structure
+    # (scripts/encode_ground_bench.py is the standalone harness).
+    encode_ground = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        import encode_ground_bench as egb
+        import jax.numpy as jnp
+        eg_T, eg_ratio, eg_sn = 1024, 0.3, 64
+        eg_cfg = build({"model.vid_net.in_dim": 256,
+                        "model.vid_net.max_seq_len": eg_T})
+        eg_dtype = jnp.bfloat16 if eval_dtype == "bfloat16" else jnp.float32
+        eg_ours, eg_base, eg_args, eg_k = egb.make_fns(
+            eg_cfg, eg_T, eg_ratio, eg_sn, eg_dtype)
+        t_eg = timed(eg_ours, eg_args, warmup=2, iters=16)
+        t_eg_base = timed(eg_base, eg_args, warmup=2, iters=16)
+        from decafnet_tpu.ops.nms import batched_nms_host
+        left, right, scores, valid = (
+            np.asarray(x) for x in jax.device_get(eg_base(*eg_args)))
+        m = valid[0]
+        segs = np.stack([left[0][m], right[0][m]], axis=-1)
+        nms_cfg = dict(eg_cfg.nms)
+        t0 = time.perf_counter()
+        for _ in range(8):
+            batched_nms_host(
+                segs, scores[0][m], iou_thresh=nms_cfg["iou_thresh"],
+                min_score=nms_cfg["min_score"],
+                max_num_segs=nms_cfg["max_num_segs"], mode=nms_cfg["mode"],
+                sigma=nms_cfg["sigma"],
+                voting_thresh=nms_cfg["voting_thresh"])
+        t_eg_base += (time.perf_counter() - t0) / 8
+        eg_vidsec = eg_T * clip_stride / fps
+        encode_ground = {
+            "value": round(eg_vidsec / t_eg, 2),
+            "vs_baseline": round(t_eg_base / t_eg, 2),
+            "unit": f"video-sec/sec/chip, on-device encode+ground: "
+                    f"sidekick ViT all {eg_T} clips + expert ViT "
+                    f"{eg_k} delegated (ratio {eg_ratio}) + ground + "
+                    f"device NMS; baseline = expert-over-ALL-clips + "
+                    f"host NMS (reference structure), same chip/dtype",
+        }
+    except Exception as e:  # encode leg must never sink the headline
+        encode_ground = {"error": f"{type(e).__name__}: {e}"}
+
     print(json.dumps({
         "metric": "video_sec_per_sec_per_chip",
         "value": round(value, 2),
@@ -397,6 +455,11 @@ def main():
                 "chip, f32 like the reference's eval at bf16x1 matmuls "
                 "[a concession in its favor])",
         "vs_baseline": round(value / baseline, 2),
+        "value_f32_same_dtype": round(value_f32, 2),
+        "vs_baseline_same_dtype": round(value_f32 / baseline, 2),
+        "t_batched_ms": round(t_batched * 1e3, 3),
+        "t_batched_f32_ms": round(t_batched_f32 * 1e3, 3),
+        "encode_ground": encode_ground,
     }))
 
 
