@@ -12,11 +12,11 @@ overhead amortizes the same way it does in a real eval stream.
 
 ``vs_baseline`` is the speedup over the reference's evaluation STRUCTURE on
 the same chip. The fast side runs the SHIPPED eval mode (compute_dtype
-"auto" = bf16 at NLQ-class lengths since the round-4 pre-registered
-promotion study); the baseline runs f32 activations like the reference's
-own eval (which disables even TF32, /root/reference/eval.py:38-41) but
-inherits the global bf16x1-class matmul precision -- a concession in the
-baseline's favor. Structurally, the reference evaluates one video at
+"auto" = bf16 for all TPU eval since the round-5 kernel fixes, validated
+by the pre-registered promotion study); the baseline runs f32 activations
+like the reference's own eval (which disables even TF32,
+/root/reference/eval.py:38-41) under the same global "high" (TF32-class)
+matmul precision as the fast side. Structurally, the reference evaluates one video at
 a time, loops queries in Python re-encoding the video once per query
 (libs/modeling/model.py:480-565, libs/worker_v2.py:940-955), moves the
 dense logits/offsets to the HOST per query, and runs its C++ SoftNMS there
@@ -345,11 +345,15 @@ def main():
                       os.path.expanduser("~/.cache/decafnet_tpu/xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # match the eval CLI (cfg.tpu.matmul_precision "auto" resolves to
-    # "default" for TPU eval since the round-4 precision promotion,
-    # scripts/results/precision_promotion.json). Applied to BOTH sides --
-    # the baseline gets the identical precision class, so vs_baseline
-    # stays a structural comparison.
-    jax.config.update("jax_default_matmul_precision", "default")
+    # "high" for eval since the round-5 revert: the 2004-step re-run of
+    # the pre-registered precision study FAILED its rule,
+    # scripts/results/precision_promotion_2000.json, and the revert is a
+    # wash for the shipped bf16 path, prec_ab_{high,default}.json).
+    # Applied to BOTH sides -- the baseline gets the identical precision
+    # class, so vs_baseline stays a structural comparison, and rounds
+    # 1-3 snapshots (which ran "high") are directly comparable again
+    # (round 4's snapshot ran "default" on both sides).
+    jax.config.update("jax_default_matmul_precision", "high")
 
     require_tpu()
 
@@ -371,8 +375,8 @@ def main():
     # bf16 at this NLQ-class length, validated by the pre-registered
     # study scripts/results/bf16_promotion.json); the baseline below
     # stays f32 like the reference's eval (it disables even TF32,
-    # /root/reference/eval.py:38-41 -- our global 'default' matmul
-    # precision is a further concession in the baseline's favor).
+    # /root/reference/eval.py:38-41; the global 'high' precision gives
+    # its f32 dots the same TF32-class passes as the fast side's).
     from decafnet_tpu.models import resolve_compute_dtype
     eval_dtype = resolve_compute_dtype(cfg, eval_mode=True)
     decode, args = make_decode_fn(cfg, Q, T, V, compute_dtype=eval_dtype)
@@ -450,10 +454,11 @@ def main():
         "value": round(value, 2),
         "unit": "video-seconds/sec/chip (ground+decode over precomputed "
                 "features, V=8 videos x Q=8 queries batched per call with "
-                "on-device NMS, shipped eval mode [study-validated bf16]; "
+                "on-device NMS, shipped eval mode [study-validated bf16, "
+                "'high' matmul precision since the round-5 revert]; "
                 "baseline = reference per-query host-NMS structure, same "
-                "chip, f32 like the reference's eval at bf16x1 matmuls "
-                "[a concession in its favor])",
+                "chip, f32 like the reference's eval, same precision "
+                "class)",
         "vs_baseline": round(value / baseline, 2),
         "value_f32_same_dtype": round(value_f32, 2),
         "vs_baseline_same_dtype": round(value_f32 / baseline, 2),

@@ -359,13 +359,14 @@ def _defaults_common(task, delegation=True):
     # matmul precision for f32-input dots/convs. "auto" (default) resolves
     # per phase (models.resolve_matmul_precision): "high" (bf16x3 passes,
     # TF32-class -- the same accuracy class as the reference's A100 cudnn
-    # convs with allow_tf32 on) for TRAINING, "default" (single-pass bf16
-    # inputs, f32 accumulate) for TPU EVAL -- the MAD-scale full-decode
-    # measurement is 24.1 ms at "default" vs 31.8 at "high" (-24%,
-    # scripts/results/mad_stage_profile*.json); numerics evidence in
-    # scripts/results/precision_promotion_600.json (pre-registered rule) --
-    # and "highest" (6-pass f32) for eval.reference_exact strict-parity
-    # runs. Explicit "default"/"high"/"highest" always win.
+    # convs with allow_tf32 on) for training AND eval, "highest" (6-pass
+    # f32) for eval.reference_exact strict-parity runs. Round 4 promoted
+    # "default" for TPU eval; round 5's higher-power re-run of the
+    # pre-registered study FAILED the rule (scripts/results/
+    # precision_promotion_2000.json) and fired the revert trigger -- at no
+    # shipped-path cost, since eval compute is bf16 (single-pass dots
+    # regardless of this lever; prec_ab_{high,default}.json). Explicit
+    # "default"/"high"/"highest" always win.
     cfg.tpu.matmul_precision = "auto"
     cfg.tpu.attention_backend = "auto"  # auto | xla | pallas
     cfg.tpu.seq_buckets = ()         # extra static sequence-length buckets

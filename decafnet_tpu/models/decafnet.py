@@ -422,21 +422,24 @@ def resolve_matmul_precision(cfg, eval_mode=False):
     for ``jax_default_matmul_precision``.
 
     Explicit values ("default" | "high" | "highest") pass through. "auto"
-    means: "high" for training (bf16x3, TF32-class -- the same accuracy
-    class as the reference's A100 cudnn convs with allow_tf32 on),
-    "highest" for ``eval.reference_exact`` strict-parity runs, and
-    "default" (single-pass bf16 inputs, f32 accumulate) for TPU
-    eval/serving -- the MAD-scale full-decode measurement is 24.1 ms at
-    "default" vs 31.8 ms at "high" (scripts/results/mad_stage_profile*
-    .json, -24%), and it is the only eval-speed lever live at MAD-class
-    lengths where the bf16 COMPUTE mode regresses. Numerics evidence:
-    scripts/results/precision_promotion_600.json (pre-registered rule in
-    scripts/precision_promotion_study.py, same form as the bf16 study:
-    3 seeds x 604 steps, R1 counts identical, zero R@5 flips,
-    mode-agreement IoU >= 0.9948; the under-trained 304-step run failed
-    the rule on a near-tied top-1 flip and is recorded alongside in
-    precision_promotion.json).
-    Non-TPU backends resolve to "high" (XLA:CPU dots ignore the lever).
+    means: "high" (bf16x3, TF32-class -- the same accuracy class as the
+    reference's A100 cudnn convs with allow_tf32 on) for BOTH training and
+    eval, and "highest" for ``eval.reference_exact`` strict-parity runs.
+
+    History of the eval resolution: round 4 promoted "default" for TPU
+    eval after a 604-step pre-registered study passed 3/3 seeds
+    (scripts/results/precision_promotion_600.json) -- at that time f32 was
+    the eval compute dtype at MAD lengths and "default" measured 24.1 vs
+    31.8 ms. Round 5 re-ran the same rule at 2004 delivered steps and it
+    FAILED (precision_promotion_2000.json: seed 0, one R@5 count flip in
+    12 queries; R1 identical everywhere), firing the pre-registered revert
+    trigger. The revert is free in the SHIPPED path because round 5 also
+    made bf16 the eval compute dtype at every length, and bf16-input dots
+    are single-pass regardless of this lever: the same-session A/B
+    (scripts/results/prec_ab_{high,default}.json) measures the bf16 full
+    decode at 2.92 ("high") vs 3.14 ms ("default") at T=2304 and 21.69 vs
+    21.89 ms at T=32768 -- a wash. Only explicit-f32 TPU eval (an opt-out
+    corner) pays the "high" cost (32.3 vs 24.1 ms at MAD scale).
     """
     tpu_cfg = cfg.get("tpu") if hasattr(cfg, "get") else None
     value = tpu_cfg.get("matmul_precision", "high") if tpu_cfg else "high"
@@ -445,10 +448,7 @@ def resolve_matmul_precision(cfg, eval_mode=False):
     eval_cfg = cfg.get("eval") if hasattr(cfg, "get") else None
     if eval_cfg and eval_cfg.get("reference_exact", False):
         return "highest"
-    if not eval_mode:
-        return "high"
-    import jax
-    return "default" if jax.default_backend() == "tpu" else "high"
+    return "high"
 
 
 def make_model(cfg, compute_dtype=None):

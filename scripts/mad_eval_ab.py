@@ -49,9 +49,10 @@ def main(argv=None):
                         choices=("highest", "high", "default"),
                         help="matmul precision pin for f32-input dots. "
                         "'high' is the historical harness pin (all recorded "
-                        "round-4 A/Bs); 'default' is the shipped EVAL "
-                        "resolution of tpu.matmul_precision='auto' since "
-                        "the round-4 precision promotion")
+                        "round-4 A/Bs) AND the shipped EVAL resolution "
+                        "again since the round-5 revert of the round-4 "
+                        "'default' promotion (the 2k-step study re-run "
+                        "failed its pre-registered rule)")
     args = parser.parse_args(argv)
 
     import jax

@@ -96,9 +96,10 @@ def main(argv=None):
         overrides["tpu.compute_dtype"] = args.dtype
     cfg = bench.build(overrides)
     # pin the shipped EVAL precision class (cfg.tpu.matmul_precision
-    # resolved with eval semantics -- "auto" is "default" on TPU since the
-    # round-4 precision promotion); numbers at different precisions are
-    # not comparable (high vs default measured 31.8 vs 24.1 ms here)
+    # resolved with eval semantics -- "high" since the round-5 revert of
+    # the round-4 "default" promotion); numbers at different precisions
+    # are not comparable for f32 programs (high vs default measured 31.8
+    # vs 24.1 ms here) though a wash for bf16 (prec_ab_*.json)
     from decafnet_tpu.models import resolve_matmul_precision
     report_precision = resolve_matmul_precision(cfg, eval_mode=True)
     jax.config.update("jax_default_matmul_precision", report_precision)

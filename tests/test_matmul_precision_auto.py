@@ -1,16 +1,20 @@
-"""The "auto" matmul-precision resolution (round-4 precision promotion).
+"""The "auto" matmul-precision resolution.
 
-The MAD-scale stage profile measured the full T=32768 eval call at 31.8 ms
-under precision "high" vs 24.1 ms under "default" (-24%,
-scripts/results/mad_stage_profile*.json) -- the only eval-speed lever live
-at MAD-class lengths, where the bf16 COMPUTE mode regresses. The
-pre-registered numerics study (scripts/precision_promotion_study.py,
-artifact scripts/results/precision_promotion.json) gates the eval-mode
-"default" resolution. These tests pin the semantics:
+Round 4 promoted "default" for TPU eval after a 604-step pre-registered
+study passed (scripts/results/precision_promotion_600.json). Round 5
+re-ran the identical rule at 2004 delivered steps and it FAILED
+(precision_promotion_2000.json: seed 0, one R@5 count flip in 12 queries;
+R1 identical everywhere), firing the pre-registered revert trigger --
+"auto" resolves "high" for eval again. The revert is measured as free in
+the shipped path because eval compute is bf16 since round 5 (bf16-input
+dots are single-pass regardless of this lever: 2.92 "high" vs 3.14 ms
+"default" at T=2304, 21.69 vs 21.89 at T=32768;
+scripts/results/prec_ab_{high,default}.json). These tests pin:
 
-  * training always resolves "auto" to "high" (TF32-class, the accuracy
-    class of the reference's A100 cudnn convs),
-  * eval resolves to "default" ONLY on a TPU backend,
+  * training resolves "auto" to "high" (TF32-class, the accuracy class
+    of the reference's A100 cudnn convs),
+  * eval resolves "auto" to "high" as well (the round-5 revert), on any
+    backend,
   * ``eval.reference_exact`` (the bit-parity mode) forces "highest",
   * explicit "default"/"high"/"highest" settings always win.
 """
@@ -46,10 +50,13 @@ def test_eval_on_cpu_resolves_to_high(cfg):
     assert resolve_matmul_precision(cfg, eval_mode=True) == "high"
 
 
-def test_eval_on_tpu_resolves_to_default(cfg, monkeypatch):
+def test_eval_on_tpu_resolves_to_high(cfg, monkeypatch):
+    """The round-5 revert: the 2004-step re-run of the pre-registered
+    precision study failed its rule, so eval "auto" is "high" again
+    (models/decafnet.py:resolve_matmul_precision history note)."""
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     cfg.tpu.matmul_precision = "auto"
-    assert resolve_matmul_precision(cfg, eval_mode=True) == "default"
+    assert resolve_matmul_precision(cfg, eval_mode=True) == "high"
 
 
 def test_reference_exact_forces_highest(cfg, monkeypatch):
